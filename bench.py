@@ -1,0 +1,81 @@
+"""Throughput benchmark: U-Net 512x512 B-scan inference on one chip.
+
+North star (BASELINE.json): >=5000 512x512 B-scans/sec/chip U-Net inference
+on TPU v5e. Prints ONE JSON line.
+
+Methodology: the whole measurement runs *on device* as a single dispatch —
+``lax.scan`` over N batches of on-device-generated inputs, reduced to one
+scalar — so host<->device round-trip latency (large under the axon tunnel)
+cannot inflate the number. Per-batch time is differenced between a long and a
+short scan to cancel the fixed dispatch cost.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+BASELINE_SCANS_PER_SEC = 5000.0
+BATCH = 32
+SIZE = 512
+
+
+def _build():
+    from retinal_oct_image_segmentation_via_deep_learning_tpu.models.unet import UNet
+
+    model = UNet(out_channels=10, init_features=32, dtype=jnp.bfloat16)
+    key = jax.random.PRNGKey(0)
+    variables = model.init(key, jnp.zeros((1, SIZE, SIZE, 1), jnp.bfloat16))
+
+    @partial(jax.jit, static_argnums=2)
+    def run(variables, key, iters: int):
+        def body(carry, k):
+            # cheap on-device input generation (bit-twiddled uniform)
+            x = jax.random.bits(k, (BATCH, SIZE, SIZE, 1), jnp.uint16)
+            x = (x.astype(jnp.bfloat16) / 65536.0) - 0.5
+            logits = model.apply(variables, x, train=False)
+            lab = jnp.argmax(logits, axis=-1)
+            return carry + jnp.sum(lab, dtype=jnp.int32), None
+
+        keys = jax.random.split(key, iters)
+        total, _ = jax.lax.scan(body, jnp.int32(0), keys)
+        return total
+
+    return variables, run
+
+
+def _time(run, variables, iters):
+    key = jax.random.PRNGKey(1)
+    run(variables, key, iters).block_until_ready()  # compile
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        run(variables, key, iters).block_until_ready()
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def main():
+    variables, run = _build()
+    t_short = _time(run, variables, 2)
+    t_long = _time(run, variables, 22)
+    per_batch = (t_long - t_short) / 20.0
+    scans_per_sec = BATCH / per_batch
+    print(
+        json.dumps(
+            {
+                "metric": "unet_512x512_infer",
+                "value": round(scans_per_sec, 2),
+                "unit": "B-scans/sec/chip",
+                "vs_baseline": round(scans_per_sec / BASELINE_SCANS_PER_SEC, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,141 @@
+"""Data pipelines: synthetic Duke-DME-shaped OCT volumes + on-disk loader.
+
+The reference documents 21 public datasets (``Datasets.md:3-26``) but ships
+no loader except FourierNet's per-image cv2 reads
+(``trainTestModels.py:38-59``). Since the datasets cannot be downloaded in
+this environment, the primary pipeline is a deterministic synthetic generator
+producing retina-like B-scans (smooth layer boundaries, per-layer intensity,
+multiplicative speckle, optional fluid pockets) with per-pixel layer labels —
+shaped like Duke DME (512x512, ~8 layers + fluid + background).
+
+Generation is pure-JAX and jit-able, so data can be synthesized *on device*
+at far beyond north-star throughput; the host loop only feeds PRNG keys.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class SyntheticOCTConfig:
+    height: int = 512
+    width: int = 512
+    num_layers: int = 8  # retinal layers between ILM and BM
+    fluid: bool = True  # lesion pockets (class num_layers+1)
+    speckle: float = 0.35
+    seed: int = 0
+
+    @property
+    def num_classes(self) -> int:
+        # background + layers (+ fluid)
+        return 1 + self.num_layers + (1 if self.fluid else 0)
+
+
+def _smooth_curves(key, batch, width, num_layers, height):
+    """(B, L+1, W) monotone layer boundary rows, smooth in W."""
+    k1, k2, k3 = jax.random.split(key, 3)
+    xs = jnp.linspace(0, 2 * jnp.pi, width)
+    # low-frequency undulation per sample
+    amp = jax.random.uniform(k1, (batch, 1, 3), minval=4.0, maxval=18.0)
+    phase = jax.random.uniform(k2, (batch, 1, 3), minval=0, maxval=2 * jnp.pi)
+    freq = jnp.array([1.0, 2.0, 3.0])[None, None, :]
+    base = jnp.sum(
+        amp * jnp.sin(freq * xs[None, :, None] + phase), axis=-1
+    )  # (B, W)
+    top = height * 0.25 + base
+    # layer thicknesses (positive, summing to ~height/2)
+    th = jax.random.uniform(k3, (batch, num_layers), minval=0.5, maxval=1.5)
+    th = th / jnp.sum(th, axis=1, keepdims=True) * (height * 0.5)
+    offsets = jnp.concatenate(
+        [jnp.zeros((batch, 1)), jnp.cumsum(th, axis=1)], axis=1
+    )  # (B, L+1)
+    return top[:, None, :] + offsets[:, :, None]  # (B, L+1, W)
+
+
+@partial(jax.jit, static_argnums=(1, 2))
+def synth_batch(key, batch: int, cfg: SyntheticOCTConfig):
+    """Generate (images (B,H,W,1) float32, labels (B,H,W) int32) on device."""
+    H, W, L = cfg.height, cfg.width, cfg.num_layers
+    kb, ki, ks, kf = jax.random.split(key, 4)
+    bounds = _smooth_curves(kb, batch, W, L, H)  # (B, L+1, W)
+
+    rows = jnp.arange(H)[None, :, None, None]  # (1, H, 1, 1)
+    b = bounds[:, None, :, :]  # (B, 1, L+1, W)
+    # label = number of boundaries at/above this row: 0 = vitreous above ILM,
+    # 1..L = retinal layers, L+1 = below BM -> background again.
+    above = jnp.sum(rows >= b, axis=2)  # (B, H, W)
+    labels = jnp.where(above > L, 0, above).astype(jnp.int32)
+
+    # per-layer base reflectivity (layers alternate bright/dark like OCT)
+    refl = jnp.concatenate(
+        [
+            jnp.full((1,), 0.05),  # vitreous/background
+            0.35 + 0.5 * (jnp.arange(L) % 2).astype(jnp.float32) * 0.6,
+        ]
+    )
+    intensity = refl[labels]
+
+    if cfg.fluid:
+        # elliptical hypo-reflective pockets in mid layers
+        cy = jax.random.uniform(kf, (batch, 1, 1), minval=0.45, maxval=0.6) * H
+        cx = jax.random.uniform(ks, (batch, 1, 1), minval=0.2, maxval=0.8) * W
+        ry = jax.random.uniform(ki, (batch, 1, 1), minval=8.0, maxval=30.0)
+        rx = ry * jax.random.uniform(kf, (batch, 1, 1), minval=1.5, maxval=3.0)
+        yy = jnp.arange(H)[None, :, None]
+        xx = jnp.arange(W)[None, None, :]
+        ell = ((yy - cy) / ry) ** 2 + ((xx - cx) / rx) ** 2 <= 1.0
+        in_retina = (labels > 0) & (labels <= L)
+        fluid_mask = ell & in_retina
+        labels = jnp.where(fluid_mask, L + 1, labels)
+        intensity = jnp.where(fluid_mask, 0.08, intensity)
+
+    # multiplicative speckle + additive noise
+    noise = jax.random.gamma(ki, 4.0, (batch, H, W)) / 4.0
+    img = intensity * (1.0 + cfg.speckle * (noise - 1.0))
+    img = img + 0.02 * jax.random.normal(ks, (batch, H, W))
+    return img[..., None].astype(jnp.float32), labels
+
+
+class SyntheticOCTDataset:
+    """Epoch iterator over deterministic on-device synthetic batches."""
+
+    def __init__(self, cfg: SyntheticOCTConfig, num_samples: int, batch_size: int):
+        self.cfg = cfg
+        self.num_samples = num_samples
+        self.batch_size = batch_size
+        self.steps_per_epoch = max(num_samples // batch_size, 1)
+
+    def epoch(self, epoch_idx: int):
+        base = jax.random.PRNGKey(self.cfg.seed)
+        for step in range(self.steps_per_epoch):
+            key = jax.random.fold_in(
+                jax.random.fold_in(base, epoch_idx), step
+            )
+            yield synth_batch(key, self.batch_size, self.cfg)
+
+
+def numpy_folder_dataset(images: np.ndarray, labels: np.ndarray, batch_size: int,
+                         shuffle: bool = True, seed: int = 0):
+    """Minimal host loader for real data already in arrays (N,H,W,1)/(N,H,W)."""
+    n = images.shape[0]
+    rng = np.random.default_rng(seed)
+    idx = np.arange(n)
+
+    def epoch(_epoch_idx: int):
+        if shuffle:
+            rng.shuffle(idx)
+        for i in range(0, n - batch_size + 1, batch_size):
+            sel = idx[i : i + batch_size]
+            yield jnp.asarray(images[sel]), jnp.asarray(labels[sel])
+
+    ds = type("Ds", (), {})()
+    ds.epoch = epoch
+    ds.steps_per_epoch = n // batch_size
+    return ds

@@ -1,0 +1,86 @@
+"""Training losses.
+
+The reference trains only FourierNet (multi-head MSE + categorical
+cross-entropy, ``FourierNet/trainTestModels.py:85-89`` /
+``deepModels.py:49-51``); every torch model ships without a loss. The loss
+set here covers the whole zoo per BASELINE.json configs: class-weighted
+Dice+CE for layer/lesion segmentation, MSE heads, adversarial + VAE terms for
+AnoGAN / SDNet.
+
+All losses take NHWC logits and integer (B, H, W) labels (or one-hot), are
+jit-able, and reduce to scalars in fp32.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import optax
+
+_EPS = 1e-7
+
+
+def softmax_cross_entropy(logits, labels, class_weights=None):
+    """Mean CE over pixels; optional per-class weights (B,H,W int labels)."""
+    logits = logits.astype(jnp.float32)
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    ll = jnp.take_along_axis(logp, labels[..., None], axis=-1)[..., 0]
+    if class_weights is not None:
+        w = jnp.asarray(class_weights, jnp.float32)[labels]
+        return -jnp.sum(ll * w) / jnp.maximum(jnp.sum(w), _EPS)
+    return -jnp.mean(ll)
+
+
+def dice_loss(logits, labels, class_weights=None):
+    """Soft multi-class Dice loss (1 - mean per-class soft Dice)."""
+    logits = logits.astype(jnp.float32)
+    nc = logits.shape[-1]
+    probs = jax.nn.softmax(logits, axis=-1)
+    onehot = jax.nn.one_hot(labels, nc, dtype=jnp.float32)
+    axes = tuple(range(probs.ndim - 1))  # sum over batch + spatial
+    inter = jnp.sum(probs * onehot, axis=axes)
+    denom = jnp.sum(probs, axis=axes) + jnp.sum(onehot, axis=axes)
+    dice = (2.0 * inter + _EPS) / (denom + _EPS)
+    if class_weights is not None:
+        w = jnp.asarray(class_weights, jnp.float32)
+        return 1.0 - jnp.sum(dice * w) / jnp.maximum(jnp.sum(w), _EPS)
+    return 1.0 - jnp.mean(dice)
+
+
+def dice_ce_loss(logits, labels, class_weights=None, dice_weight=1.0):
+    """Class-weighted Dice + CE — the primary segmentation objective
+    (BASELINE.json config: 'class-weighted Dice loss')."""
+    return dice_weight * dice_loss(
+        logits, labels, class_weights
+    ) + softmax_cross_entropy(logits, labels, class_weights)
+
+
+def mse_loss(pred, target):
+    return jnp.mean((pred.astype(jnp.float32) - target.astype(jnp.float32)) ** 2)
+
+
+def bce_with_logits(logits, targets):
+    return jnp.mean(
+        optax.sigmoid_binary_cross_entropy(
+            logits.astype(jnp.float32), targets.astype(jnp.float32)
+        )
+    )
+
+
+def kl_divergence(mean, logvar):
+    """VAE KL(q || N(0, I)) per batch mean (SDNet modality encoder)."""
+    return -0.5 * jnp.mean(
+        jnp.sum(1 + logvar - mean**2 - jnp.exp(logvar), axis=-1)
+    )
+
+
+LOSSES = {
+    "dice_ce": dice_ce_loss,
+    "dice": dice_loss,
+    "ce": softmax_cross_entropy,
+    "mse": mse_loss,
+}
+
+
+def get_loss(name: str):
+    return LOSSES[name]

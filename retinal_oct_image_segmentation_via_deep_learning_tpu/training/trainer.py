@@ -1,0 +1,189 @@
+"""Unified trainer: pjit-sharded data-parallel train/eval over a device mesh.
+
+The reference has exactly one training loop (Keras ``model.fit`` with batch=1
+and per-image Python I/O, ``trainTestModels.py:94-107``). This trainer drives
+*any* registry model: batch sharded over the mesh "data" axis via
+NamedSharding, parameters replicated, gradient all-reduce emitted by XLA —
+no hand-written collectives on the DP path.
+
+Per-epoch: train steps -> val loss + per-class Dice -> Orbax best-checkpoint
+-> early stopping (patience semantics from the reference callbacks,
+``trainTestModels.py:71-76``).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from ..config import TrainConfig
+from ..metrics.region import per_class_dice
+from ..parallel.mesh import DATA_AXIS, local_mesh
+from ..registry import get_model
+from ..utils.dtype import resolve_dtype
+from .checkpoint import CheckpointManager, EarlyStopping
+from .losses import get_loss
+from .train_state import TrainState, create_train_state
+
+
+def make_train_step(model, loss_fn: Callable, class_weights=None):
+    def train_step(state: TrainState, images, labels):
+        def loss_of(params):
+            variables = {"params": params}
+            has_stats = state.batch_stats is not None and state.batch_stats
+            if has_stats:
+                variables["batch_stats"] = state.batch_stats
+            out = model.apply(
+                variables,
+                images,
+                train=True,
+                mutable=["batch_stats"] if has_stats else [],
+            )
+            logits, updates = out if isinstance(out, tuple) else (out, {})
+            loss = loss_fn(logits, labels, class_weights)
+            return loss, updates
+
+        (loss, updates), grads = jax.value_and_grad(loss_of, has_aux=True)(
+            state.params
+        )
+        state = state.apply_gradients(grads=grads)
+        if updates:
+            state = state.replace(batch_stats=updates["batch_stats"])
+        return state, loss
+
+    return train_step
+
+
+def make_eval_step(model, loss_fn: Callable, num_classes: int,
+                   class_weights=None):
+    def eval_step(state: TrainState, images, labels):
+        variables = {"params": state.params}
+        if state.batch_stats is not None and state.batch_stats:
+            variables["batch_stats"] = state.batch_stats
+        logits = model.apply(variables, images, train=False)
+        loss = loss_fn(logits, labels, class_weights)
+        preds = jnp.argmax(logits, axis=-1)
+        dice = per_class_dice(labels, preds, num_classes)
+        return loss, dice
+
+    return eval_step
+
+
+class Trainer:
+    def __init__(self, cfg: TrainConfig, mesh=None):
+        self.cfg = cfg
+        self.mesh = mesh if mesh is not None else local_mesh()
+        dtype = resolve_dtype(cfg.compute_dtype)
+        self.model = get_model(
+            cfg.model.name,
+            in_channels=cfg.model.in_channels,
+            num_classes=cfg.model.num_classes,
+            dtype=dtype,
+            **cfg.model.kwargs,
+        )
+        self.loss_fn = get_loss(cfg.loss)
+        self.class_weights = (
+            jnp.asarray(cfg.class_weights) if cfg.class_weights else None
+        )
+        self._batch_sharding = NamedSharding(self.mesh, P(DATA_AXIS))
+        self._rep = NamedSharding(self.mesh, P())
+        self.ckpt = (
+            CheckpointManager(cfg.checkpoint_dir, cfg.keep_checkpoints)
+            if cfg.checkpoint_dir
+            else None
+        )
+        self.history: list[dict] = []
+
+    # -- setup ------------------------------------------------------------
+    def init_state(self, sample_images) -> TrainState:
+        variables = self.model.init(
+            jax.random.PRNGKey(self.cfg.seed), sample_images
+        )
+        state = create_train_state(self.model, variables, self.cfg.optim)
+        return jax.device_put(state, self._rep)
+
+    def _shard(self, images, labels):
+        put = lambda x: jax.device_put(
+            x, NamedSharding(self.mesh, P(DATA_AXIS, *([None] * (x.ndim - 1))))
+        )
+        return put(images), put(labels)
+
+    # -- loops ------------------------------------------------------------
+    def fit(self, train_ds, val_ds=None, state: TrainState | None = None):
+        cfg = self.cfg
+        if state is None:
+            images, labels = next(iter(train_ds.epoch(0)))
+            state = self.init_state(images[:1])
+
+        train_step = jax.jit(
+            make_train_step(self.model, self.loss_fn, self.class_weights),
+            donate_argnums=0,
+        )
+        eval_step = jax.jit(
+            make_eval_step(
+                self.model, self.loss_fn, cfg.model.num_classes,
+                self.class_weights,
+            )
+        )
+        stopper = EarlyStopping(cfg.early_stop_patience)
+        best_state = state
+
+        for epoch in range(cfg.num_epochs):
+            t0 = time.perf_counter()
+            train_loss = 0.0
+            nsteps = 0
+            for images, labels in train_ds.epoch(epoch):
+                images, labels = self._shard(images, labels)
+                state, loss = train_step(state, images, labels)
+                train_loss += float(loss)
+                nsteps += 1
+                if cfg.steps_per_epoch and nsteps >= cfg.steps_per_epoch:
+                    break
+            record: dict[str, Any] = {
+                "epoch": epoch,
+                "train_loss": train_loss / max(nsteps, 1),
+                "time_s": time.perf_counter() - t0,
+            }
+
+            if val_ds is not None and (epoch + 1) % cfg.eval_every_epochs == 0:
+                vloss, vdice, vn = 0.0, None, 0
+                for images, labels in val_ds.epoch(epoch):
+                    images, labels = self._shard(images, labels)
+                    loss, dice = eval_step(state, images, labels)
+                    vloss += float(loss)
+                    vdice = dice if vdice is None else vdice + dice
+                    vn += 1
+                record["val_loss"] = vloss / max(vn, 1)
+                record["val_dice"] = (
+                    jnp.asarray(vdice / max(vn, 1)).tolist()
+                    if vdice is not None
+                    else None
+                )
+                if self.ckpt:
+                    self.ckpt.save(
+                        epoch, jax.device_get(state),
+                        {"val_loss": record["val_loss"]},
+                    )
+                if record["val_loss"] < stopper.best:
+                    best_state = state
+                if stopper.update(epoch, record["val_loss"]):
+                    self.history.append(record)
+                    break
+            self.history.append(record)
+        if self.ckpt:
+            self.ckpt.wait()
+        return best_state if val_ds is not None else state
+
+    # -- inference --------------------------------------------------------
+    def predict(self, state: TrainState, images):
+        variables = {"params": state.params}
+        if state.batch_stats is not None and state.batch_stats:
+            variables["batch_stats"] = state.batch_stats
+        logits = jax.jit(
+            lambda v, x: self.model.apply(v, x, train=False)
+        )(variables, images)
+        return jnp.argmax(logits, axis=-1)
