@@ -49,12 +49,16 @@ def _build():
 
 
 def _time(run, variables, iters):
+    # NOTE: synchronize via a host fetch (int(...)) — under remote-tunneled
+    # backends block_until_ready can be a no-op, which silently times only
+    # the async dispatch.
     key = jax.random.PRNGKey(1)
-    run(variables, key, iters).block_until_ready()  # compile
+    int(run(variables, key, iters))  # compile + settle
     best = float("inf")
-    for _ in range(3):
+    for i in range(3):
+        k = jax.random.fold_in(key, i)
         t0 = time.perf_counter()
-        run(variables, key, iters).block_until_ready()
+        int(run(variables, k, iters))
         best = min(best, time.perf_counter() - t0)
     return best
 

@@ -98,20 +98,35 @@ class ConvTranspose(nn.Module):
 
         k, s, p = self.kernel_size, self.strides, self.padding
         in_ch = x.shape[-1]
-        # Stored like torch (flipped at use): shape (k, k, out, in) so fan_in
+        # Stored like torch (flipped at use): shape (k, k, in, out) so fan_in
         # for init matches torch's (in_ch * k * k) on the transposed op.
         w = self.param(
             "kernel", torch_conv_init, (k, k, in_ch, self.features), jnp.float32
         )
-        pad = (k - 1 - p, k - 1 - p + self.output_padding)
-        y = jax.lax.conv_general_dilated(
-            x.astype(self.dtype or x.dtype),
-            jnp.flip(w, axis=(0, 1)).astype(self.dtype or x.dtype),
-            window_strides=(1, 1),
-            padding=[pad, pad],
-            lhs_dilation=(s, s),
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        )
+        dt = self.dtype or x.dtype
+        xc = x.astype(dt)
+        wc = w.astype(dt)
+        if k == s and p == 0 and self.output_padding == 0:
+            # Non-overlapping case: out[si+di, sj+dj, o] = sum_c x[i,j,c] *
+            # w[di,dj,c,o] — a pure 1x1 matmul + depth-to-space. Identical
+            # numbers to the dilated-conv form, but maps straight onto the
+            # MXU instead of a lhs-dilated convolution (which XLA:TPU
+            # executes far less efficiently).
+            N, H, W, _ = xc.shape
+            O = self.features
+            y = jnp.einsum("nhwc,ijco->nhwijo", xc, wc)
+            y = y.reshape(N, H, W, k, k, O).transpose(0, 1, 3, 2, 4, 5)
+            y = y.reshape(N, H * k, W * k, O)
+        else:
+            pad = (k - 1 - p, k - 1 - p + self.output_padding)
+            y = jax.lax.conv_general_dilated(
+                xc,
+                jnp.flip(wc, axis=(0, 1)),
+                window_strides=(1, 1),
+                padding=[pad, pad],
+                lhs_dilation=(s, s),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
         if self.use_bias:
             b = self.param(
                 "bias", nn.initializers.zeros, (self.features,), jnp.float32

@@ -135,31 +135,32 @@ class FFC(nn.Module):
         out_cg = int(self.features * self.ratio_gout)
         out_cl = self.features - out_cg
 
-        out_xl = None
-        out_xg = None
-        if out_cl > 0 and x_l is not None:
-            out_xl = _reflect_conv(
-                x_l, out_cl, self.kernel_size, self.strides, self.padding,
-                self.dilation, self.use_bias, self.dtype,
-            )
-        if out_cl > 0 and in_cg_known:
-            g2l = _reflect_conv(
-                x_g, out_cl, self.kernel_size, self.strides, self.padding,
-                self.dilation, self.use_bias, self.dtype,
-            )
-            out_xl = g2l if out_xl is None else out_xl + g2l
-        if out_cg > 0:
-            if x_l is not None:
-                out_xg = _reflect_conv(
-                    x_l, out_cg, self.kernel_size, self.strides, self.padding,
-                    self.dilation, self.use_bias, self.dtype,
-                )
-            if in_cg_known:
-                g2g = SpectralTransform(
-                    out_cg, self.strides, 1, self.enable_lfu, dtype=self.dtype
-                )(x_g, train)
-                out_xg = g2g if out_xg is None else out_xg + g2g
-        return out_xl, out_xg
+        # Path evaluation order matches the reference module registration
+        # order (l2l, l2g, g2l, g2g — YNet_2022.py:304-318) so that the
+        # order-based torch weight importer zips units 1:1.
+        conv = lambda inp, out_ch: _reflect_conv(
+            inp, out_ch, self.kernel_size, self.strides, self.padding,
+            self.dilation, self.use_bias, self.dtype,
+        )
+        l2l = conv(x_l, out_cl) if (out_cl > 0 and x_l is not None) else None
+        l2g = conv(x_l, out_cg) if (out_cg > 0 and x_l is not None) else None
+        g2l = conv(x_g, out_cl) if (out_cl > 0 and in_cg_known) else None
+        g2g = (
+            SpectralTransform(
+                out_cg, self.strides, 1, self.enable_lfu, dtype=self.dtype
+            )(x_g, train)
+            if (out_cg > 0 and in_cg_known)
+            else None
+        )
+
+        def add(a, b):
+            if a is None:
+                return b
+            if b is None:
+                return a
+            return a + b
+
+        return add(l2l, g2l), add(l2g, g2g)
 
 
 class FFC_BN_ACT(nn.Module):

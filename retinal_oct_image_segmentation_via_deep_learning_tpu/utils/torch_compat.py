@@ -71,8 +71,19 @@ def torch_units(state_dict) -> list[dict]:
             kind = "dense"
         elif "weight" in g and g["weight"].ndim <= 1 and len(g) == 1:
             kind = "prelu"
+        elif (
+            "weight" in g and g["weight"].ndim == 1 and "bias" in g
+            and len(g) == 2
+        ):
+            kind = "ln"  # LayerNorm / affine InstanceNorm
         else:
-            kind = "tensor"
+            # plain tensor parameters (pos embeddings, cls tokens, scalars):
+            # one unit per leaf, preserving order
+            for leaf, arr in g.items():
+                units.append(
+                    {"kind": "tensor", "name": f"{prefix}.{leaf}", leaf: arr}
+                )
+            continue
         units.append({"kind": kind, "name": prefix, **g})
     return units
 
@@ -116,10 +127,17 @@ def import_torch_state(
             kind = "conv" if np.ndim(g["kernel"]) == 4 else "dense"
         elif "scale" in g and path in sgroups:
             kind = "bn"
+        elif "scale" in g:
+            kind = "ln"
         elif "alpha" in g:
             kind = "prelu"
         else:
-            kind = "tensor"
+            # plain tensor params: one unit per leaf, preserving order
+            for leaf in g:
+                flax_units.append(
+                    {"kind": "tensor", "path": path, "leaves": g, "leaf": leaf}
+                )
+            continue
         flax_units.append({"kind": kind, "path": path, "leaves": g})
 
     ui = 0
@@ -157,6 +175,11 @@ def import_torch_state(
             new_params[path]["bias"] = tu["bias"].astype(np.float32)
             new_stats[path]["mean"] = tu["running_mean"].astype(np.float32)
             new_stats[path]["var"] = tu["running_var"].astype(np.float32)
+        elif fu["kind"] == "ln":
+            if tu["kind"] != "ln":
+                raise ValueError("unit kind mismatch: " + err)
+            new_params[path]["scale"] = tu["weight"].astype(np.float32)
+            new_params[path]["bias"] = tu["bias"].astype(np.float32)
         elif fu["kind"] == "prelu":
             new_params[path]["alpha"] = np.reshape(tu["weight"], (-1,)).astype(np.float32)
         else:
@@ -164,7 +187,12 @@ def import_torch_state(
             (leaf_name, leaf_val), = [
                 (k, v) for k, v in tu.items() if k not in ("kind", "name")
             ]
-            (fkey,) = g.keys()
+            fkey = fu["leaf"]
+            want_shape = np.shape(g[fkey])
+            if np.shape(leaf_val) != want_shape:
+                raise ValueError(
+                    f"tensor shape {np.shape(leaf_val)} vs {want_shape}: " + err
+                )
             new_params[path][fkey] = np.asarray(leaf_val, np.float32)
 
     if ui != len(units):

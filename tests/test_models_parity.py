@@ -18,12 +18,13 @@ from retinal_oct_image_segmentation_via_deep_learning_tpu import get_model
 from retinal_oct_image_segmentation_via_deep_learning_tpu.utils.torch_compat import (
     import_torch_state,
 )
-from reference_loader import load_reference
+from reference_loader import load_reference, randomize_torch
 
 
 def _run_parity(torch_model, flax_model, x_nchw, atol=1e-4,
                 transposed=lambda n: "upconv" in n or "uppool" in n,
                 torch_out_index=None):
+    randomize_torch(torch_model)
     torch_model.eval()
     with torch.no_grad():
         ref = torch_model(torch.from_numpy(x_nchw))
@@ -40,9 +41,12 @@ def _run_parity(torch_model, flax_model, x_nchw, atol=1e-4,
     if torch_out_index is not None:
         got = got[torch_out_index]
     got = np.asarray(got)
-    np.testing.assert_allclose(
-        got, ref.transpose(0, 2, 3, 1), atol=atol, rtol=1e-4
-    )
+    want = ref.transpose(0, 2, 3, 1)
+    # Scale-relative 1e-4 contract: residual-heavy nets grow activations to
+    # O(1e6) under variance-preserving init; per-element rtol would then
+    # measure fp accumulation order, not implementation fidelity.
+    scale = max(np.abs(want).max(), 1.0)
+    np.testing.assert_allclose(got / scale, want / scale, atol=atol)
 
 
 def test_relaynet_parity(rng):
@@ -59,6 +63,7 @@ def test_anogan_parity(rng):
     fm = get_model("anogan", num_classes=1)
     x = rng.random((2, 1, 32, 32)).astype(np.float32)
 
+    randomize_torch(tm)
     tm.eval()
     with torch.no_grad():
         ref_out = tm(torch.from_numpy(x), mode="train")
@@ -71,10 +76,11 @@ def test_anogan_parity(rng):
     )
     got = fm.apply(variables, x_nhwc)
     for key in ref_out:
+        want = ref_out[key].numpy().transpose(0, 2, 3, 1)
+        scale = max(np.abs(want).max(), 1.0)
         np.testing.assert_allclose(
-            np.asarray(got[key]),
-            ref_out[key].numpy().transpose(0, 2, 3, 1),
-            atol=1e-4, rtol=1e-4,
+            np.asarray(got[key]) / scale, want / scale, atol=1e-4,
+            err_msg=key,
         )
 
 

@@ -19,7 +19,7 @@ from retinal_oct_image_segmentation_via_deep_learning_tpu.models.unet import (
 from retinal_oct_image_segmentation_via_deep_learning_tpu.utils.torch_compat import (
     import_torch_state,
 )
-from reference_loader import load_reference
+from reference_loader import load_reference, randomize_torch
 
 
 @pytest.fixture(scope="module")
@@ -28,6 +28,7 @@ def ref_ynet():
 
 
 def _parity(torch_model, flax_model, x_nchw, atol=1e-4, transposed=None):
+    randomize_torch(torch_model)
     torch_model.eval()
     with torch.no_grad():
         ref = torch_model(torch.from_numpy(x_nchw)).numpy()
@@ -40,9 +41,9 @@ def _parity(torch_model, flax_model, x_nchw, atol=1e-4, transposed=None):
         transposed=transposed or (lambda n: "upconv" in n),
     )
     got = np.asarray(flax_model.apply(variables, x_nhwc))
-    np.testing.assert_allclose(
-        got, ref.transpose(0, 2, 3, 1), atol=atol, rtol=1e-4
-    )
+    want = ref.transpose(0, 2, 3, 1)
+    scale = max(np.abs(want).max(), 1.0)
+    np.testing.assert_allclose(got / scale, want / scale, atol=atol)
 
 
 def test_unet_parity(ref_ynet, rng):
