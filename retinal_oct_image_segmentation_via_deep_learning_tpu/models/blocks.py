@@ -23,6 +23,15 @@ from flax import linen as nn
 torch_conv_init = nn.initializers.variance_scaling(
     1.0 / 3.0, "fan_in", "uniform"
 )
+
+# ConvTranspose lowering for the non-overlapping (k==s, p==0) case:
+# "einsum" = 1x1 matmul + depth-to-space, "dilated" = lhs-dilated conv.
+# Both produce identical numbers; which is faster is hardware/compiler
+# dependent (A/B'd in perf/abench.py). Overridable via env for benchmarking.
+import os as _os
+
+def conv_transpose_impl() -> str:
+    return _os.environ.get("OCTSEG_CONV_TRANSPOSE_IMPL", "dilated")
 kaiming_normal_init = nn.initializers.variance_scaling(
     2.0, "fan_in", "normal"
 )
@@ -106,7 +115,10 @@ class ConvTranspose(nn.Module):
         dt = self.dtype or x.dtype
         xc = x.astype(dt)
         wc = w.astype(dt)
-        if k == s and p == 0 and self.output_padding == 0:
+        if (
+            k == s and p == 0 and self.output_padding == 0
+            and conv_transpose_impl() == "einsum"
+        ):
             # Non-overlapping case: out[si+di, sj+dj, o] = sum_c x[i,j,c] *
             # w[di,dj,c,o] — a pure 1x1 matmul + depth-to-space. Identical
             # numbers to the dilated-conv form, but maps straight onto the

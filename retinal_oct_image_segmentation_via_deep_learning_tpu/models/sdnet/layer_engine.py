@@ -1,0 +1,142 @@
+"""Layer topology engine (reference ``SD_Layer_Net/layer_engine.py``).
+
+Treats (n_classes - 1) channel maps as per-A-scan layer-boundary
+distributions: column softmax (:100), soft-argmax layer positions (:46),
+per-column std (:78-79), topology enforcement in 1D and 2D, and violation
+losses (topology, continuity, curvature against a per-layer curvature-max
+table, :37-43,81-94).
+
+TPU-native formulation:
+- the reference's sequential 1D pass ``new[i] = new[i-1] +
+  relu(pos[i] - new[i-1])`` (:62-67) is exactly a running maximum, computed
+  here as ``lax.associative_scan(jnp.maximum)`` over the layer axis —
+  parallel instead of serial;
+- the 2D pass ``c[i] = relu(c[i] + c[i-1] - 1)`` (:56-60) is a genuine
+  recurrence, run as ``lax.scan`` over the (few) layer channels;
+- the curvature kernels (11-tap Sobel/Laplace, :17-20) reduce to two
+  shifted-difference expressions — no convs needed;
+- device-pinning (`.cuda()` on constants, :17-43) disappears: constants are
+  traced into the jit.
+
+Layout: NHWC — ``soft_anatomy`` is (B, H, W, C); positions are (B, W, L).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+# Reference per-layer curvature-max table (:40), 11 layers.
+REFERENCE_CURV_MAX = np.array(
+    [1.2261, 1.1558, 1.1161, 1.1195, 2.7202, 2.3714, 1.7055, 3.2717,
+     2.6716, 5.0418, 0.4293],
+    np.float32,
+)
+
+
+@dataclasses.dataclass
+class LayerEngine:
+    img_size: int
+    n_classes: int
+
+    @property
+    def n_layers(self) -> int:
+        return self.n_classes - 1
+
+    def _curv_max(self):
+        t = REFERENCE_CURV_MAX
+        if self.n_layers <= len(t):
+            return jnp.asarray(t[: self.n_layers])
+        return jnp.asarray(
+            np.concatenate([t, np.full(self.n_layers - len(t), t[-1], np.float32)])
+        )
+
+    # ------------------------------------------------------------------
+    def layer_positions(self, sm):
+        """Soft-argmax over the column (H) axis. sm: (B, H, W, L) -> (B, W, L)."""
+        rows = jnp.arange(sm.shape[1], dtype=sm.dtype)[None, :, None, None]
+        return jnp.sum(sm * rows, axis=1)
+
+    def standard_deviations(self, sm, positions):
+        rows = jnp.arange(sm.shape[1], dtype=sm.dtype)[None, :, None, None]
+        var = jnp.sum(sm * (rows - positions[:, None]) ** 2, axis=1)
+        return jnp.sqrt(var)
+
+    def topology_violations(self, positions):
+        return nn_relu(positions[..., :-1] - positions[..., 1:])
+
+    def neighbour_diff(self, positions):
+        """|adjacent-column difference| (:93-94; roll then drop col 0)."""
+        rolled = jnp.roll(positions, 1, axis=1)
+        return jnp.abs((rolled - positions)[:, 1:, :])
+
+    def curvature_diffs(self, positions):
+        """11-tap first/second derivative, replicate padding (:81-91)."""
+        p = jnp.pad(positions, ((0, 0), (5, 5), (0, 0)), mode="edge")
+        first = p[:, 10:] - p[:, :-10]
+        second = p[:, 10:] - 2.0 * p[:, 5:-5] + p[:, :-10]
+        curvature = second / jnp.power(1.0 + first**2, 1.5)
+        return jnp.abs(curvature) - self._curv_max()[None, None, :]
+
+    # ------------------------------------------------------------------
+    def topological_engine_1d(self, positions):
+        """new[i] = max(new[i-1], pos[i]) — running max over layers
+        (parallel associative scan; reference's serial loop, :62-67)."""
+        return jax.lax.associative_scan(jnp.maximum, positions, axis=-1)
+
+    def cumulative_mask(self, sm):
+        B, H, W, L = sm.shape
+        upper = jnp.ones((B, H, W, 1), sm.dtype)
+        return jnp.concatenate([upper, jnp.cumsum(sm, axis=1)], axis=-1)
+
+    def topological_engine_2d(self, cum_mask):
+        """c[i] = relu(c[i] + c[i-1] - 1) over layer channels (:56-60)."""
+        first_two = cum_mask[..., :2]
+        rest = jnp.moveaxis(cum_mask[..., 2:], -1, 0)  # (L-1, B, H, W)
+
+        def step(prev, cur):
+            new = nn_relu(cur + prev - 1.0)
+            return new, new
+
+        _, corrected = jax.lax.scan(step, first_two[..., 1], rest)
+        corrected = jnp.moveaxis(corrected, 0, -1)
+        return jnp.concatenate([first_two, corrected], axis=-1)
+
+    def separate_masks(self, cum_mask):
+        """m[i] = c[i] - c[i+1]; last channel unchanged (:69-72)."""
+        return jnp.concatenate(
+            [cum_mask[..., :-1] - cum_mask[..., 1:], cum_mask[..., -1:]],
+            axis=-1,
+        )
+
+    # ------------------------------------------------------------------
+    def __call__(self, soft_anatomy):
+        """soft_anatomy: (B, H, W, >=n_classes-1) boundary logits.
+
+        Returns (log_softmax, corrected_positions, clean_masks, losses) —
+        the reference forward contract (:97-115)."""
+        pred = soft_anatomy[..., : self.n_layers].astype(jnp.float32)
+        sm = jax.nn.softmax(pred, axis=1)  # column softmax over H
+        lsm = jax.nn.log_softmax(pred, axis=1)
+
+        positions = self.layer_positions(sm)
+        losses = {
+            "std_deviations": self.standard_deviations(sm, positions),
+            "topology_violations": self.topology_violations(positions),
+            "continuity_violations": self.neighbour_diff(positions),
+            "curvature_diffs": self.curvature_diffs(positions),
+        }
+        corrected_positions = self.topological_engine_1d(positions)
+
+        cum = self.cumulative_mask(sm)
+        cum = self.topological_engine_2d(cum)
+        clean_masks = self.separate_masks(cum)
+        return lsm, corrected_positions, clean_masks, losses
+
+
+def nn_relu(x):
+    return jnp.maximum(x, 0.0)
