@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 
 BASELINE_SCANS_PER_SEC = 5000.0
-BATCH = 64  # A/B'd in perf/abench.py: b64 beats b32 by ~1.6x on v5e
+BATCH = 128  # A/B'd in perf/abench.py: 32->417, 64->686, 128->1143, 256->1161
 SIZE = 512
 
 
