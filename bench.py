@@ -25,19 +25,27 @@ SIZE = 512
 
 
 def _build():
+    from retinal_oct_image_segmentation_via_deep_learning_tpu.inference.quantized import (
+        fold_unet_bn,
+        folded_forward,
+    )
     from retinal_oct_image_segmentation_via_deep_learning_tpu.models.unet import UNet
 
     model = UNet(out_channels=10, init_features=32, dtype=jnp.bfloat16)
     key = jax.random.PRNGKey(0)
     variables = model.init(key, jnp.zeros((1, SIZE, SIZE, 1), jnp.bfloat16))
+    # Serving path: BN folded into convs (exact at eval; +5% measured).
+    layers = jax.tree.map(
+        lambda a: jnp.asarray(a, jnp.bfloat16), fold_unet_bn(variables)
+    )
 
     @partial(jax.jit, static_argnums=2)
-    def run(variables, key, iters: int):
+    def run(layers, key, iters: int):
         def body(carry, k):
             # cheap on-device input generation (bit-twiddled uniform)
             x = jax.random.bits(k, (BATCH, SIZE, SIZE, 1), jnp.uint16)
             x = (x.astype(jnp.bfloat16) / 65536.0) - 0.5
-            logits = model.apply(variables, x, train=False)
+            logits = folded_forward(layers, x)
             lab = jnp.argmax(logits, axis=-1)
             return carry + jnp.sum(lab, dtype=jnp.int32), None
 
@@ -45,7 +53,7 @@ def _build():
         total, _ = jax.lax.scan(body, jnp.int32(0), keys)
         return total
 
-    return variables, run
+    return layers, run
 
 
 def _time(run, variables, iters):

@@ -1,0 +1,263 @@
+"""Int8 post-training-quantized U-Net inference (serving path).
+
+Provides 4x smaller weights and int8 activations end-to-end (half the HBM
+traffic of bf16). NOTE on compute: although v5e's MXU rates int8 at 2x bf16,
+XLA's ``lax.conv`` int8 path measured *no* kernel-time win on this stack
+(perf probe: 59.0ms int8 vs 56.5ms bf16 for the same 128ch conv) — the
+throughput claim must come from a hand-written Pallas int8 matmul path,
+which is future work; until then this module is a memory/serving feature
+with a tested accuracy contract. This module provides:
+
+1. ``fold_unet_bn``: folds inference BatchNorm into the preceding conv
+   (w' = w * g/sqrt(v+eps), b' = beta - mean * g/sqrt(v+eps)) for the UNet
+   parameter tree — exact at eval time.
+2. ``calibrate_unet``: runs the folded fp32 forward over sample batches,
+   recording per-tensor activation absmax at every quantization point.
+3. ``quantize_unet``: per-output-channel symmetric int8 weights + the
+   calibrated activation scales -> a flat qparams dict.
+4. ``unet_int8_forward``: the full U-Net forward with int8 convs
+   (``preferred_element_type=int32``) and int8 activations end-to-end —
+   requantization is fused into each conv epilogue
+   (acc * (s_in*s_w/s_out), relu as clamp[0,127]); max-pool and concat
+   operate directly on int8 (order-preserving); transpose-convs run int8 as
+   lhs-dilated convs.
+
+Accuracy contract (tested): >=99% argmax agreement with the bf16 forward on
+synthetic B-scans.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+_EPS = 1e-5  # torch BN epsilon, matching models.blocks.BatchNorm
+
+
+# ---------------------------------------------------------------------------
+# 1. BN folding over the UNet variables tree
+# ---------------------------------------------------------------------------
+
+
+def _unet_block_names(params):
+    return sorted(
+        (k for k in params if k.startswith("UNetBlock_")),
+        key=lambda s: int(s.split("_")[1]),
+    )
+
+
+def fold_unet_bn(variables):
+    """-> dict of layers: {name: {"w": (kh,kw,ci,co), "b": (co,)}} in forward
+    order, BN folded. Layer names: blk{i}_conv{j}, ct{i}, head."""
+    params = variables["params"]
+    stats = variables["batch_stats"]
+    layers = {}
+    for blk in _unet_block_names(params):
+        for j in (0, 1):
+            w = np.asarray(params[blk][f"Conv_{j}"]["Conv_0"]["kernel"])
+            bn_p = params[blk][f"BatchNorm_{j}"]["BatchNorm_0"]
+            bn_s = stats[blk][f"BatchNorm_{j}"]["BatchNorm_0"]
+            g = np.asarray(bn_p["scale"])
+            beta = np.asarray(bn_p["bias"])
+            mean = np.asarray(bn_s["mean"])
+            var = np.asarray(bn_s["var"])
+            k = g / np.sqrt(var + _EPS)
+            i = int(blk.split("_")[1])
+            layers[f"blk{i}_conv{j}"] = {
+                "w": (w * k).astype(np.float32),
+                "b": (beta - mean * k).astype(np.float32),
+            }
+    for name, node in params.items():
+        if name.startswith("ConvTranspose_"):
+            i = int(name.split("_")[1])
+            layers[f"ct{i}"] = {
+                "w": np.asarray(node["kernel"], np.float32),
+                "b": np.asarray(node["bias"], np.float32),
+            }
+    head = params["Conv_0"]["Conv_0"]
+    layers["head"] = {
+        "w": np.asarray(head["kernel"], np.float32),
+        "b": np.asarray(head["bias"], np.float32),
+    }
+    return layers
+
+
+# ---------------------------------------------------------------------------
+# shared forward skeleton over folded layers
+# ---------------------------------------------------------------------------
+
+
+def _same_pad(w):
+    ph, pw = (w.shape[0] - 1) // 2, (w.shape[1] - 1) // 2
+    return [(ph, ph), (pw, pw)]
+
+
+def _conv(x, w, b, relu=True):
+    y = jax.lax.conv_general_dilated(
+        x, w.astype(x.dtype), (1, 1), _same_pad(w),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    ) + b.astype(x.dtype)
+    return jnp.maximum(y, 0) if relu else y
+
+
+def _convt(x, w, b):
+    y = jax.lax.conv_general_dilated(
+        x, jnp.flip(w, (0, 1)).astype(x.dtype), (1, 1),
+        [(1, 1), (1, 1)], lhs_dilation=(2, 2),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    return y + b.astype(x.dtype)
+
+
+def _pool(x):
+    return jax.lax.reduce_window(
+        x, -jnp.inf if x.dtype != jnp.int8 else jnp.int8(-128),
+        jax.lax.max, (1, 2, 2, 1), (1, 2, 2, 1), "VALID",
+    )
+
+
+def folded_forward(layers, x, taps=None):
+    """fp32 forward over folded layers; optionally records activation absmax
+    into ``taps`` at every conv/convT input and the concat outputs."""
+
+    def tap(name, t):
+        if taps is not None:
+            taps[name] = max(
+                taps.get(name, 0.0), float(jnp.max(jnp.abs(t)))
+            )
+        return t
+
+    def block(i, t):
+        tap(f"blk{i}_conv0_in", t)
+        t = _conv(t, layers[f"blk{i}_conv0"]["w"], layers[f"blk{i}_conv0"]["b"])
+        tap(f"blk{i}_conv1_in", t)
+        return _conv(t, layers[f"blk{i}_conv1"]["w"], layers[f"blk{i}_conv1"]["b"])
+
+    enc = []
+    h = x
+    for i in range(4):
+        h = block(i, h)
+        enc.append(h)
+        h = _pool(h)
+    h = block(4, h)
+    for ct, (blk, skip) in enumerate(zip((5, 6, 7, 8), (3, 2, 1, 0))):
+        tap(f"ct{ct}_in", h)
+        h = _convt(h, layers[f"ct{ct}"]["w"], layers[f"ct{ct}"]["b"])
+        h = jnp.concatenate([h, enc[skip]], axis=-1)
+        tap(f"blk{blk}_cat", h)
+        h = block(blk, h)
+    tap("head_in", h)
+    return _conv(h, layers["head"]["w"], layers["head"]["b"], relu=False)
+
+
+def calibrate_unet(layers, sample_batches):
+    """Per-tensor absmax at each quantization point over calibration data."""
+    taps: dict[str, float] = {}
+    for xb in sample_batches:
+        folded_forward(layers, jnp.asarray(xb, jnp.float32), taps)
+    return taps
+
+
+# ---------------------------------------------------------------------------
+# quantization
+# ---------------------------------------------------------------------------
+
+
+def quantize_unet(layers, taps):
+    """-> qparams: int8 weights + fp32 scale vectors per layer."""
+    q = {}
+    for name, lw in layers.items():
+        w = lw["w"]
+        s_w = np.max(np.abs(w), axis=(0, 1, 2)) / 127.0  # per out-channel
+        s_w = np.maximum(s_w, 1e-12)
+        q[name] = {
+            "w_q": np.clip(np.round(w / s_w), -127, 127).astype(np.int8),
+            "s_w": s_w.astype(np.float32),
+            "b": lw["b"],
+        }
+    scales = {}
+    for key, absmax in taps.items():
+        scales[key] = np.float32(max(absmax, 1e-12) / 127.0)
+    q["_act_scales"] = scales
+    return q
+
+
+def _qconv(xq, s_in, layer, s_out, relu=True, transpose=False):
+    """int8 conv + fused requant epilogue.
+
+    xq int8, s_in scalar; layer holds w_q (int8) + per-channel s_w + fp bias.
+    Output int8 at scale s_out (or fp32 when s_out is None).
+    """
+    dn = ("NHWC", "HWIO", "NHWC")
+    if transpose:
+        acc = jax.lax.conv_general_dilated(
+            xq, jnp.flip(layer["w_q"], (0, 1)), (1, 1), [(1, 1), (1, 1)],
+            lhs_dilation=(2, 2), dimension_numbers=dn,
+            preferred_element_type=jnp.int32,
+        )
+    else:
+        acc = jax.lax.conv_general_dilated(
+            xq, layer["w_q"], (1, 1), _same_pad(layer["w_q"]),
+            dimension_numbers=dn, preferred_element_type=jnp.int32,
+        )
+    scale = s_in * layer["s_w"]  # (co,) fp32
+    y = acc.astype(jnp.float32) * scale + layer["b"]
+    if s_out is None:
+        return y
+    y = y / s_out
+    lo = 0.0 if relu else -127.0
+    return jnp.clip(jnp.round(y), lo, 127.0).astype(jnp.int8)
+
+
+def _requant(xq, s_from, s_to):
+    return jnp.clip(
+        jnp.round(xq.astype(jnp.float32) * (s_from / s_to)), -127, 127
+    ).astype(jnp.int8)
+
+
+def unet_int8_forward(qparams, x):
+    """Full int8 U-Net forward. x: fp32/bf16 NHWC -> fp32 logits."""
+    s = qparams["_act_scales"]
+
+    def quant_in(t, key):
+        return jnp.clip(
+            jnp.round(t.astype(jnp.float32) / s[key]), -127, 127
+        ).astype(jnp.int8), s[key]
+
+    # Quantized activations flow with explicit scale bookkeeping.
+    enc = []  # (tensor_q, scale)
+    hq, hs = quant_in(x, "blk0_conv0_in")
+    for i in range(4):
+        hq = _qconv(hq, s[f"blk{i}_conv0_in"], qparams[f"blk{i}_conv0"],
+                    s[f"blk{i}_conv1_in"])
+        # output scale of block = next stage's input scale
+        nxt = f"blk{i+1}_conv0_in"
+        hq = _qconv(hq, s[f"blk{i}_conv1_in"], qparams[f"blk{i}_conv1"],
+                    s[nxt])
+        enc.append((hq, s[nxt]))
+        hq = _pool(hq)  # int8 max-pool, scale unchanged
+
+    hq = _qconv(hq, s["blk4_conv0_in"], qparams["blk4_conv0"],
+                s["blk4_conv1_in"])
+    hq = _qconv(hq, s["blk4_conv1_in"], qparams["blk4_conv1"], s["ct0_in"])
+    hs = s["ct0_in"]
+
+    for ct, (blk, skip) in enumerate(zip((5, 6, 7, 8), (3, 2, 1, 0))):
+        cat_s = s[f"blk{blk}_cat"]
+        up = _qconv(hq, hs, qparams[f"ct{ct}"], cat_s, relu=False,
+                    transpose=True)
+        sk_q, sk_s = enc[skip]
+        sk = _requant(sk_q, sk_s, cat_s)
+        hq = jnp.concatenate([up, sk], axis=-1)
+        hq = _qconv(hq, cat_s, qparams[f"blk{blk}_conv0"],
+                    s[f"blk{blk}_conv1_in"])
+        nxt = f"ct{ct+1}_in" if ct < 3 else "head_in"
+        hq = _qconv(hq, s[f"blk{blk}_conv1_in"], qparams[f"blk{blk}_conv1"],
+                    s[nxt])
+        hs = s[nxt]
+
+    return _qconv(hq, s["head_in"], qparams["head"], None, relu=False)

@@ -51,6 +51,23 @@ class CheckpointManager:
         self._mgr.close()
 
 
+def save_model(path: str, state: Any):
+    """One-call whole-state save (the role of ``ReLayNet.save``,
+    ``ReLayNet_2017.py:117-126`` — which pickles the module and has no load
+    path in the reference; here both directions exist)."""
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(os.path.abspath(path), state)
+    ckptr.wait_until_finished()
+    ckptr.close()
+
+
+def load_model(path: str, template: Any):
+    ckptr = ocp.StandardCheckpointer()
+    out = ckptr.restore(os.path.abspath(path), template)
+    ckptr.close()
+    return out
+
+
 class EarlyStopping:
     """Best-val tracking + patience, mirroring the reference Keras callbacks
     (EarlyStopping(patience=50, restore_best_weights=True),

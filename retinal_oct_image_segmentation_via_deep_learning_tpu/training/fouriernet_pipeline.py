@@ -39,6 +39,39 @@ def zscore_image(img: np.ndarray) -> np.ndarray:
     return (img - img.mean()) / (img.std() + 1e-7)
 
 
+def list_image_files(directory: str) -> list[str]:
+    """Sorted image filenames in a directory (reference ``listAllImageFiles``,
+    :62-69)."""
+    import os
+
+    exts = (".png", ".jpg", ".jpeg", ".bmp", ".tif", ".tiff")
+    return sorted(
+        f for f in os.listdir(directory) if f.lower().endswith(exts)
+    )
+
+
+def read_folder_dataset(image_dir: str, gold_dir: str | None = None):
+    """Load (images, masks) arrays from image/gold directories via cv2 —
+    the reference's ``readOneDataset`` flow (:38-59) without the per-image
+    Python in the hot loop (arrays are batched once, preprocessing runs on
+    device)."""
+    import os
+
+    import cv2
+
+    names = list_image_files(image_dir)
+    images, masks = [], []
+    for n in names:
+        img = cv2.imread(os.path.join(image_dir, n), cv2.IMREAD_GRAYSCALE)
+        images.append(img.astype(np.float32))
+        if gold_dir is not None:
+            gold = cv2.imread(os.path.join(gold_dir, n), cv2.IMREAD_GRAYSCALE)
+            masks.append((gold > 0).astype(np.uint8))  # binarize (:31-34)
+    images = np.stack(images)
+    masks = np.stack(masks) if masks else None
+    return images, masks, names
+
+
 def prepare_dataset(images: np.ndarray, masks: np.ndarray, fd_channel: int = 1):
     """Build (inputs, fd_targets, onehot_masks) arrays from raw images+masks.
 
