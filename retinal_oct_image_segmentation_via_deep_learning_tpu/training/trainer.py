@@ -106,7 +106,21 @@ class Trainer:
         state = create_train_state(self.model, variables, self.cfg.optim)
         return jax.device_put(state, self._rep)
 
+    def _preprocess(self, images):
+        d = self.cfg.data
+        if d.flatten_retina or d.denoise or d.normalize:
+            from ..ops.preprocess import preprocess
+
+            images = preprocess(
+                images,
+                flatten=d.flatten_retina,
+                denoise=d.denoise,
+                normalize=d.normalize,
+            )
+        return images
+
     def _shard(self, images, labels):
+        images = self._preprocess(images)
         put = lambda x: jax.device_put(
             x, NamedSharding(self.mesh, P(DATA_AXIS, *([None] * (x.ndim - 1))))
         )
@@ -180,6 +194,7 @@ class Trainer:
 
     # -- inference --------------------------------------------------------
     def predict(self, state: TrainState, images):
+        images = self._preprocess(images)
         variables = {"params": state.params}
         if state.batch_stats is not None and state.batch_stats:
             variables["batch_stats"] = state.batch_stats
