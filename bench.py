@@ -3,11 +3,18 @@
 North star (BASELINE.json): >=5000 512x512 B-scans/sec/chip U-Net inference
 on TPU v5e. Prints ONE JSON line.
 
+Serving path: int8 post-training quantization (inference/quantized.py) —
+BN folded, per-channel int8 weights, int8 activations end-to-end; accuracy
+contract (>=98% argmax agreement vs fp32, tested in tests/test_quantized.py).
+Exact-bf16 path measured 1228 scans/s (see docs/PERF.md for the ladder and
+methodology).
+
 Methodology: the whole measurement runs *on device* as a single dispatch —
 ``lax.scan`` over N batches of on-device-generated inputs, reduced to one
-scalar — so host<->device round-trip latency (large under the axon tunnel)
-cannot inflate the number. Per-batch time is differenced between a long and a
-short scan to cancel the fixed dispatch cost.
+scalar — and synchronizes via host fetch, because over the tunneled backend
+``block_until_ready`` is a no-op and per-dispatch RTT (~30 ms) would
+otherwise dominate. Per-batch time is differenced between a long and a short
+scan to cancel the fixed dispatch cost.
 """
 
 from __future__ import annotations
@@ -15,6 +22,8 @@ from __future__ import annotations
 import json
 import time
 from functools import partial
+
+import numpy as np
 
 import jax
 import jax.numpy as jnp
@@ -26,26 +35,31 @@ SIZE = 512
 
 def _build():
     from retinal_oct_image_segmentation_via_deep_learning_tpu.inference.quantized import (
+        calibrate_unet,
         fold_unet_bn,
-        folded_forward,
+        quantize_unet,
+        unet_int8_forward,
     )
     from retinal_oct_image_segmentation_via_deep_learning_tpu.models.unet import UNet
 
     model = UNet(out_channels=10, init_features=32, dtype=jnp.bfloat16)
     key = jax.random.PRNGKey(0)
     variables = model.init(key, jnp.zeros((1, SIZE, SIZE, 1), jnp.bfloat16))
-    # Serving path: BN folded into convs (exact at eval; +5% measured).
-    layers = jax.tree.map(
-        lambda a: jnp.asarray(a, jnp.bfloat16), fold_unet_bn(variables)
+    layers = fold_unet_bn(variables)
+    calib = np.random.default_rng(0).standard_normal(
+        (2, SIZE, SIZE, 1)
+    ).astype(np.float32)
+    qparams = jax.tree.map(
+        jnp.asarray, quantize_unet(layers, calibrate_unet(layers, [calib]))
     )
 
     @partial(jax.jit, static_argnums=2)
-    def run(layers, key, iters: int):
+    def run(qparams, key, iters: int):
         def body(carry, k):
             # cheap on-device input generation (bit-twiddled uniform)
             x = jax.random.bits(k, (BATCH, SIZE, SIZE, 1), jnp.uint16)
-            x = (x.astype(jnp.bfloat16) / 65536.0) - 0.5
-            logits = folded_forward(layers, x)
+            x = (x.astype(jnp.float32) / 65536.0) - 0.5
+            logits = unet_int8_forward(qparams, x)
             lab = jnp.argmax(logits, axis=-1)
             return carry + jnp.sum(lab, dtype=jnp.int32), None
 
@@ -53,34 +67,31 @@ def _build():
         total, _ = jax.lax.scan(body, jnp.int32(0), keys)
         return total
 
-    return layers, run
+    return qparams, run
 
 
-def _time(run, variables, iters):
-    # NOTE: synchronize via a host fetch (int(...)) — under remote-tunneled
-    # backends block_until_ready can be a no-op, which silently times only
-    # the async dispatch.
+def _time(run, params, iters):
     key = jax.random.PRNGKey(1)
-    int(run(variables, key, iters))  # compile + settle
+    int(run(params, key, iters))  # compile + settle (host-fetch sync)
     best = float("inf")
     for i in range(3):
         k = jax.random.fold_in(key, i)
         t0 = time.perf_counter()
-        int(run(variables, k, iters))
+        int(run(params, k, iters))
         best = min(best, time.perf_counter() - t0)
     return best
 
 
 def main():
-    variables, run = _build()
-    t_short = _time(run, variables, 2)
-    t_long = _time(run, variables, 22)
+    params, run = _build()
+    t_short = _time(run, params, 2)
+    t_long = _time(run, params, 22)
     per_batch = (t_long - t_short) / 20.0
     scans_per_sec = BATCH / per_batch
     print(
         json.dumps(
             {
-                "metric": "unet_512x512_infer",
+                "metric": "unet_512x512_infer_int8_ptq",
                 "value": round(scans_per_sec, 2),
                 "unit": "B-scans/sec/chip",
                 "vs_baseline": round(scans_per_sec / BASELINE_SCANS_PER_SEC, 4),
