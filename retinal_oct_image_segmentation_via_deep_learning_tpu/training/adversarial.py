@@ -50,20 +50,13 @@ class AnoGANTrainer:
         )
 
     def _forward(self, params, stats, x, train):
-        out, mutated = AnoGAN().apply(
-            {"params": params, "batch_stats": stats},
-            x,
-            train=train,
-            mode="train",
-            mutable=["batch_stats"] if train else [],
-        ) if train else (
-            AnoGAN().apply(
-                {"params": params, "batch_stats": stats}, x,
-                train=False, mode="train",
-            ),
-            {"batch_stats": stats},
+        variables = {"params": params, "batch_stats": stats}
+        if not train:
+            out = self.model.apply(variables, x, train=False, mode="train")
+            return out, {"batch_stats": stats}
+        return self.model.apply(
+            variables, x, train=True, mode="train", mutable=["batch_stats"]
         )
-        return out, mutated
 
     def make_train_step(self):
         def d_loss_fn(d_params, g_params, stats, x):

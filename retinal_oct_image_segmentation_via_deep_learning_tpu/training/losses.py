@@ -55,7 +55,8 @@ def dice_ce_loss(logits, labels, class_weights=None, dice_weight=1.0):
     ) + softmax_cross_entropy(logits, labels, class_weights)
 
 
-def mse_loss(pred, target):
+def mse_loss(pred, target, class_weights=None):
+    del class_weights  # uniform over pixels; keeps the Trainer loss contract
     return jnp.mean((pred.astype(jnp.float32) - target.astype(jnp.float32)) ** 2)
 
 

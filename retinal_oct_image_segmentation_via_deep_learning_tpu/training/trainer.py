@@ -192,6 +192,36 @@ class Trainer:
             self.ckpt.wait()
         return best_state if val_ds is not None else state
 
+    def evaluate(self, state: TrainState, dataset, epoch: int = 0):
+        """Full on-device metric suite over a dataset (BASELINE config 5):
+        per-class Dice/IoU/sensitivity/specificity/precision + confusion
+        matrix, aggregated over all batches in one confusion-matrix pass."""
+        import numpy as np
+
+        from ..metrics.volume import volume_confusion
+
+        nc = self.cfg.model.num_classes
+        cm = jnp.zeros((nc, nc), jnp.float32)
+        for images, labels in dataset.epoch(epoch):
+            preds = self.predict(state, images)
+            cm = cm + volume_confusion(labels, preds, nc)
+        # derive the metric dict from the aggregated confusion matrix
+        total = jnp.sum(cm)
+        tp = jnp.diag(cm)
+        fp = jnp.sum(cm, axis=0) - tp
+        fn = jnp.sum(cm, axis=1) - tp
+        tn = total - tp - fp - fn
+        eps = 1e-7
+        return {
+            "confusion": np.asarray(cm),
+            "dice": np.asarray(2 * tp / (2 * tp + fp + fn + eps)),
+            "iou": np.asarray(tp / (tp + fp + fn + eps)),
+            "sensitivity": np.asarray(tp / (tp + fn + eps)),
+            "specificity": np.asarray(tn / (tn + fp + eps)),
+            "precision": np.asarray(tp / (tp + fp + eps)),
+            "pixel_accuracy": float(jnp.sum(tp) / jnp.maximum(total, 1.0)),
+        }
+
     # -- inference --------------------------------------------------------
     def predict(self, state: TrainState, images):
         images = self._preprocess(images)
