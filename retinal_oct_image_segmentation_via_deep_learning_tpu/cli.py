@@ -22,6 +22,7 @@ def _build_cfg(args):
     from .config import DataConfig, ModelConfig, OptimConfig, TrainConfig
 
     kwargs = json.loads(args.model_kwargs) if args.model_kwargs else {}
+    get = lambda name, default: getattr(args, name, default)
     return TrainConfig(
         model=ModelConfig(
             name=args.model,
@@ -29,18 +30,21 @@ def _build_cfg(args):
             num_classes=args.num_classes,
             kwargs=kwargs,
         ),
-        optim=OptimConfig(optimizer=args.optimizer, learning_rate=args.lr),
+        optim=OptimConfig(
+            optimizer=get("optimizer", "adam"),
+            learning_rate=get("lr", 1e-3),
+        ),
         data=DataConfig(
             image_size=(args.image_size, args.image_size),
             batch_size=args.batch_size,
-            num_train=args.num_train,
-            num_val=args.num_val,
+            num_train=get("num_train", 128),
+            num_val=get("num_val", 16),
         ),
-        loss=args.loss,
-        num_epochs=args.epochs,
-        checkpoint_dir=args.checkpoint_dir,
+        loss=get("loss", "dice_ce"),
+        num_epochs=get("epochs", 10),
+        checkpoint_dir=get("checkpoint_dir", None),
         compute_dtype=args.dtype,
-        early_stop_patience=args.patience,
+        early_stop_patience=get("patience", 50),
     )
 
 
@@ -68,6 +72,62 @@ def cmd_train(args):
     for rec in trainer.history:
         logger.log(rec)
     return state
+
+
+def cmd_infer(args):
+    """Batch inference: folder (or synthetic) -> preprocess -> predict ->
+    masks (+ class-1 probability maps, the reference's export convention)."""
+    import os
+
+    import jax
+    import jax.numpy as jnp
+
+    from .training.data import SyntheticOCTConfig, synth_batch
+    from .training.trainer import Trainer
+    from .utils.logging import export_prob_maps
+
+    cfg = _build_cfg(args)
+    trainer = Trainer(cfg)
+
+    names = None
+    if args.image_dir:
+        from .training.fouriernet_pipeline import read_folder_dataset
+
+        images, _, names = read_folder_dataset(args.image_dir)
+        images = jnp.asarray(images)[..., None]
+    else:
+        dcfg = SyntheticOCTConfig(
+            height=args.image_size, width=args.image_size,
+            num_layers=max(args.num_classes - 2, 1),
+        )
+        images, _ = synth_batch(
+            jax.random.PRNGKey(0), args.batch_size, dcfg
+        )
+
+    if args.checkpoint:
+        from .training.checkpoint import load_model
+
+        state = trainer.init_state(images[:1])
+        state = load_model(args.checkpoint, jax.device_get(state))
+    else:
+        state = trainer.init_state(images[:1])
+        print("note: no --checkpoint given; using random init")
+
+    preds = trainer.predict(state, images)
+    os.makedirs(args.out_dir, exist_ok=True)
+    import numpy as np_
+
+    np_.save(os.path.join(args.out_dir, "masks.npy"), np_.asarray(preds))
+    if args.export_probs:
+        variables = {"params": state.params}
+        if state.batch_stats is not None and state.batch_stats:
+            variables["batch_stats"] = state.batch_stats
+        logits = trainer.model.apply(
+            variables, trainer._preprocess(images), train=False
+        )
+        probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)[..., 1]
+        export_prob_maps(probs, args.out_dir, names)
+    print(f"wrote {preds.shape[0]} masks to {args.out_dir}")
 
 
 def cmd_smoke(args):
@@ -149,6 +209,13 @@ def main(argv=None):
     s = sub.add_parser("smoke", parents=[common])
     s.add_argument("--strict", action="store_true")
     s.set_defaults(fn=cmd_smoke)
+
+    i = sub.add_parser("infer", parents=[common])
+    i.add_argument("--image-dir", default=None)
+    i.add_argument("--checkpoint", default=None)
+    i.add_argument("--out-dir", default="./inference_out")
+    i.add_argument("--export-probs", action="store_true")
+    i.set_defaults(fn=cmd_infer)
 
     args = p.parse_args(argv)
     return args.fn(args)
