@@ -31,6 +31,7 @@ from __future__ import annotations
 
 from typing import Any
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -237,3 +238,81 @@ def concat_stream(x: Stream):
     if x_l is None:
         return x_g
     return jnp.concatenate([x_l, x_g], axis=-1)
+
+
+class FFCSEBlock(nn.Module):
+    """Squeeze-excitation over a (local, global) stream
+    (reference ``FFCSE_block``, YNet_2022.py:110-140 / EdgeAL_2021.py:110):
+    GAP over the concatenated stream -> 1x1 conv /16 -> ReLU -> separate
+    1x1 gates per stream -> sigmoid -> scale."""
+
+    channels: int
+    ratio_g: float
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x: Stream) -> Stream:
+        in_cg = int(self.channels * self.ratio_g)
+        in_cl = self.channels - in_cg
+        x_l, x_g = x if isinstance(x, tuple) else (x, None)
+
+        full = x_l if x_g is None else jnp.concatenate([x_l, x_g], axis=-1)
+        s = jnp.mean(full, axis=(1, 2), keepdims=True)
+        s = Conv(self.channels // 16, 1, 1, 0, dtype=self.dtype)(s)
+        s = nn.relu(s)
+        out_l = (
+            x_l * nn.sigmoid(Conv(in_cl, 1, 1, 0, dtype=self.dtype)(s))
+            if in_cl != 0
+            else None
+        )
+        out_g = (
+            x_g * nn.sigmoid(Conv(in_cg, 1, 1, 0, dtype=self.dtype)(s))
+            if in_cg != 0
+            else None
+        )
+        return out_l, out_g
+
+
+class LearnableSpatialTransformWrapper(nn.Module):
+    """Reflect-pad -> rotate by a learnable angle -> wrapped module ->
+    inverse rotate -> crop (reference ``YNet_2022.py:36-75`` /
+    ``EdgeAL_2021.py:73-106``). The rotation reproduces the reference's
+    ``rotate`` exactly (``ops.sampling.reference_rotate``)."""
+
+    impl: nn.Module
+    pad_coef: float = 0.5
+    angle_init_range: float = 80.0
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x, *args, **kwargs):
+        from ..ops.sampling import reference_rotate
+
+        angle = self.param(
+            "angle",
+            lambda k, s: jax.random.uniform(k, s) * self.angle_init_range,
+            (1,),
+        )
+
+        def transform(t):
+            ph = int(t.shape[1] * self.pad_coef)
+            pw = int(t.shape[2] * self.pad_coef)
+            tp = jnp.pad(
+                t, ((0, 0), (ph, ph), (pw, pw), (0, 0)), mode="reflect"
+            )
+            return reference_rotate(tp, angle[0]), (ph, pw)
+
+        def inverse(t, pads):
+            ph, pw = pads
+            t = reference_rotate(t, -angle[0])
+            return t[:, ph : t.shape[1] - ph, pw : t.shape[2] - pw]
+
+        if isinstance(x, tuple):
+            trans = [transform(e) for e in x]
+            ys = self.impl(tuple(t for t, _ in trans), *args, **kwargs)
+            return tuple(
+                inverse(y, pads) for y, (_, pads) in zip(ys, trans)
+            )
+        t, pads = transform(x)
+        y = self.impl(t, *args, **kwargs)
+        return inverse(y, pads)

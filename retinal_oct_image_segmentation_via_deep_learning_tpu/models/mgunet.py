@@ -131,6 +131,7 @@ class MGUNet(nn.Module):
     num_classes: int = 11
     feature_scale: int = 4
     uniform_pool: bool = False
+    is_deconv: bool = True  # False -> bilinear(align_corners) + 1x1 (:78-82)
     dtype: Any = None
 
     @nn.compact
@@ -149,7 +150,15 @@ class MGUNet(nn.Module):
         h = UnetConv(filters[3], self.dtype)(h, train)  # center
 
         for lvl, p in zip((2, 1, 0), reversed(pools)):
-            up = ConvTranspose(filters[lvl], p, p, dtype=self.dtype)(h)
+            if self.is_deconv:
+                up = ConvTranspose(filters[lvl], p, p, dtype=self.dtype)(h)
+            else:
+                up = resize_bilinear(
+                    h, (h.shape[1] * p, h.shape[2] * p), align_corners=True
+                )
+                up = Conv(filters[lvl], 1, 1, 0,
+                          kernel_init=kaiming_normal_init,
+                          dtype=self.dtype)(up)
             h = UnetConv(filters[lvl], self.dtype)(
                 jnp.concatenate([skips[lvl], up], axis=-1), train
             )

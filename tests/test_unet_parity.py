@@ -72,3 +72,31 @@ def test_ynet_ffc_parity(ref_ynet, rng):
     )
     x = rng.standard_normal((1, 1, 32, 32)).astype(np.float32)
     _parity(tm, fm, x)
+
+
+def test_ynet_skip_ffc_parity(ref_ynet, rng):
+    """The dual-skip decoder path (reference :791-839)."""
+    tm = ref_ynet.YNet_general(
+        in_channels=1, num_classes=3, init_features=8, ffc=True,
+        ratio_in=0.5, skip_ffc=True,
+    )
+    fm = YNet(
+        num_classes=3, init_features=8, ffc=True, ratio_in=0.5,
+        skip_ffc=True, apply_softmax=True,
+    )
+    x = rng.standard_normal((1, 1, 32, 32)).astype(np.float32)
+    _parity(tm, fm, x)
+
+
+def test_ynet_no_cat_merge_parity(ref_ynet, rng):
+    """Plain channel-concat bottleneck (cat_merge=False, reference :786)."""
+    tm = ref_ynet.YNet_general(
+        in_channels=1, num_classes=3, init_features=8, ffc=False,
+        cat_merge=False,
+    )
+    fm = YNet(
+        num_classes=3, init_features=8, ffc=False, cat_merge=False,
+        apply_softmax=True,
+    )
+    x = rng.standard_normal((1, 1, 32, 32)).astype(np.float32)
+    _parity(tm, fm, x)
