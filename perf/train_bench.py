@@ -1,0 +1,81 @@
+"""Training-step throughput: U-Net 512x512, class-weighted Dice+CE + Adam.
+
+Same scan-difference methodology as bench.py (see docs/PERF.md). The scan
+carries the full TrainState so every step's update feeds the next — nothing
+can be hoisted.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+from functools import partial
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+SIZE = 512
+BATCH = 32
+
+
+def main():
+    from retinal_oct_image_segmentation_via_deep_learning_tpu.config import (
+        ModelConfig,
+        TrainConfig,
+    )
+    from retinal_oct_image_segmentation_via_deep_learning_tpu.training.trainer import (
+        Trainer,
+        make_train_step,
+    )
+
+    cfg = TrainConfig(
+        model=ModelConfig(name="unet", num_classes=10,
+                          kwargs={"init_features": 32}),
+        compute_dtype="bfloat16",
+    )
+    trainer = Trainer(cfg)
+    state = trainer.init_state(jnp.zeros((1, SIZE, SIZE, 1), jnp.bfloat16))
+    step = make_train_step(trainer.model, trainer.loss_fn)
+
+    @partial(jax.jit, static_argnums=1, donate_argnums=0)
+    def run(state, iters: int):
+        def body(carry, k):
+            st, acc = carry
+            x = jax.random.bits(k, (BATCH, SIZE, SIZE, 1), jnp.uint16)
+            x = (x.astype(jnp.bfloat16) / 65536.0) - 0.5
+            y = jax.random.randint(k, (BATCH, SIZE, SIZE), 0, 10)
+            st, loss = step(st, x, y)
+            return (st, acc + loss.astype(jnp.float32)), None
+
+        (state, total), _ = jax.lax.scan(
+            body, (state, jnp.float32(0)), jax.random.split(
+                jax.random.PRNGKey(0), iters
+            ),
+        )
+        return total
+
+    def t(iters):
+        nonlocal state
+        # donate_argnums would consume state; keep a copy per call
+        s = jax.tree.map(lambda a: a + 0, state)
+        out = float(run(s, iters))
+        best = float("inf")
+        for i in range(2):
+            s = jax.tree.map(lambda a: a + 0, state)
+            t0 = time.perf_counter()
+            float(run(s, iters))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    per_step = (t(12) - t(2)) / 10
+    print(
+        f"train step: {per_step*1e3:.1f} ms/step @batch {BATCH} "
+        f"-> {BATCH/per_step:.0f} scans/s training throughput"
+    )
+
+
+if __name__ == "__main__":
+    main()
