@@ -32,7 +32,13 @@ def softmax_cross_entropy(logits, labels, class_weights=None):
 
 
 def dice_loss(logits, labels, class_weights=None):
-    """Soft multi-class Dice loss (1 - mean per-class soft Dice)."""
+    """Soft multi-class Dice loss (1 - mean per-class soft Dice).
+
+    Uses the one-hot formulation: a scatter-add variant (gather prob at
+    label + segment-sum) was measured ~1.6x SLOWER end-to-end on v5e
+    (709 vs 431 ms/train-step) — TPU scatters don't pay here; XLA fuses the
+    one-hot product without materializing it.
+    """
     logits = logits.astype(jnp.float32)
     nc = logits.shape[-1]
     probs = jax.nn.softmax(logits, axis=-1)
