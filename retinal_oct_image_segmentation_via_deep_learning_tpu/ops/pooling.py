@@ -47,7 +47,14 @@ def max_unpool(x, indices, k: int = 2):
 
 
 def max_pool(x, k: int = 2, stride: int | None = None, padding: int = 0):
-    """Plain max pool (NHWC). stride defaults to k."""
+    """Plain max pool (NHWC). stride defaults to k.
+
+    Non-overlapping case uses a reshape-max: identical forward values, with
+    an eq-mask gradient instead of ``reduce_window``'s SelectAndScatter
+    backward. (Measured neutral on the 512^2 U-Net train step on v5e —
+    XLA already handles that backward fine there — but the reshape form is
+    also what the int8 path needs, so it stays.)
+    """
     import jax
 
     stride = stride or k
@@ -57,6 +64,10 @@ def max_pool(x, k: int = 2, stride: int | None = None, padding: int = 0):
             ((0, 0), (padding, padding), (padding, padding), (0, 0)),
             constant_values=-jnp.inf,
         )
+    N, H, W, C = x.shape
+    if stride == k and H % k == 0 and W % k == 0:
+        xr = x.reshape(N, H // k, k, W // k, k, C)
+        return jnp.max(xr, axis=(2, 4))
     return jax.lax.reduce_window(
         x,
         -jnp.inf,

@@ -13,6 +13,8 @@ jit-able, and reduce to scalars in fp32.
 
 from __future__ import annotations
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 import optax
@@ -21,12 +23,22 @@ _EPS = 1e-7
 
 
 def softmax_cross_entropy(logits, labels, class_weights=None):
-    """Mean CE over pixels; optional per-class weights (B,H,W int labels)."""
+    """Mean CE over pixels; optional per-class weights (B,H,W int labels).
+
+    The label log-prob is selected via a one-hot product, NOT
+    ``take_along_axis``: the gather's backward is a full-resolution scatter,
+    which measured ~320 ms of a 431 ms U-Net train step on v5e. The one-hot
+    product's backward is a dense elementwise op that XLA fuses (train step
+    dropped to ~120 ms).
+    """
     logits = logits.astype(jnp.float32)
+    nc = logits.shape[-1]
     logp = jax.nn.log_softmax(logits, axis=-1)
-    ll = jnp.take_along_axis(logp, labels[..., None], axis=-1)[..., 0]
+    onehot = jax.nn.one_hot(labels, nc, dtype=jnp.float32)
+    ll = jnp.sum(logp * onehot, axis=-1)
     if class_weights is not None:
         w = jnp.asarray(class_weights, jnp.float32)[labels]
+        w = jax.lax.stop_gradient(w)
         return -jnp.sum(ll * w) / jnp.maximum(jnp.sum(w), _EPS)
     return -jnp.mean(ll)
 
@@ -53,12 +65,49 @@ def dice_loss(logits, labels, class_weights=None):
     return 1.0 - jnp.mean(dice)
 
 
+def _dice_ce_core(logits, labels, class_weights, dice_weight):
+    logits = logits.astype(jnp.float32)
+    nc = logits.shape[-1]
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    probs = jnp.exp(logp)
+    onehot = jax.nn.one_hot(labels, nc, dtype=jnp.float32)
+
+    # CE via the shared one-hot (gather-free: gather backward is a
+    # full-resolution scatter that measured ~320 ms/step at 512^2 b32)
+    ll = jnp.sum(logp * onehot, axis=-1)
+    if class_weights is not None:
+        w = jax.lax.stop_gradient(
+            jnp.asarray(class_weights, jnp.float32)[labels]
+        )
+        ce = -jnp.sum(ll * w) / jnp.maximum(jnp.sum(w), _EPS)
+    else:
+        ce = -jnp.mean(ll)
+
+    axes = tuple(range(probs.ndim - 1))
+    inter = jnp.sum(probs * onehot, axis=axes)
+    denom = jnp.sum(probs, axis=axes) + jnp.sum(onehot, axis=axes)
+    dice = (2.0 * inter + _EPS) / (denom + _EPS)
+    if class_weights is not None:
+        cw = jnp.asarray(class_weights, jnp.float32)
+        dice_term = 1.0 - jnp.sum(dice * cw) / jnp.maximum(jnp.sum(cw), _EPS)
+    else:
+        dice_term = 1.0 - jnp.mean(dice)
+    return dice_weight * dice_term + ce
+
+
 def dice_ce_loss(logits, labels, class_weights=None, dice_weight=1.0):
     """Class-weighted Dice + CE — the primary segmentation objective
-    (BASELINE.json config: 'class-weighted Dice loss')."""
-    return dice_weight * dice_loss(
-        logits, labels, class_weights
-    ) + softmax_cross_entropy(logits, labels, class_weights)
+    (BASELINE.json config: 'class-weighted Dice loss').
+
+    Fused: one log_softmax/one-hot shared by both terms, wrapped in
+    ``jax.checkpoint`` so the full-resolution loss intermediates (logp,
+    probs, one-hot — ~1 GB at 512^2 b32) are recomputed in the backward
+    instead of held as residuals (holding them OOM'd the 16 GB chip)."""
+    core = jax.checkpoint(
+        partial(_dice_ce_core, class_weights=class_weights,
+                dice_weight=dice_weight)
+    )
+    return core(logits, labels)
 
 
 def mse_loss(pred, target, class_weights=None):
