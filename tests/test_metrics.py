@@ -174,3 +174,22 @@ def test_identical_masks_zero_distance():
     m = _blob((32, 32), (16, 16), 8)
     assert M.hausdorff_distance(m, m) == 0.0
     assert M.assd(m, m) == 0.0
+
+
+def test_device_surface_distances_close_to_exact():
+    """The on-device boundary-pixel variant must track the host-exact
+    (marching-squares) values within the documented <=0.7 px gap."""
+    yt = _blob((48, 48), (22, 24), 10)
+    yp = _blob((48, 48), (25, 21), 12)
+    hd_exact = M.hausdorff_distance(yt, yp)
+    assd_exact = M.assd(yt, yp)
+    hd_dev = float(M.contour.hausdorff_distance_device(yt, yp))
+    assd_dev = float(M.contour.assd_device(yt, yp))
+    assert abs(hd_dev - hd_exact) <= 0.8
+    assert abs(assd_dev - assd_exact) <= 0.8
+
+
+def test_device_surface_distance_identity():
+    m = _blob((32, 32), (16, 16), 8)
+    assert float(M.contour.hausdorff_distance_device(m, m)) == 0.0
+    assert float(M.contour.assd_device(m, m)) == 0.0
