@@ -130,6 +130,42 @@ def cmd_infer(args):
     print(f"wrote {preds.shape[0]} masks to {args.out_dir}")
 
 
+def cmd_eval(args):
+    """Dataset evaluation: the full on-device metric suite (per-class Dice/
+    IoU/sensitivity/specificity/precision + confusion matrix)."""
+    import jax
+
+    from .training.data import SyntheticOCTConfig, SyntheticOCTDataset
+    from .training.trainer import Trainer
+
+    cfg = _build_cfg(args)
+    trainer = Trainer(cfg)
+    dcfg = SyntheticOCTConfig(
+        height=args.image_size, width=args.image_size,
+        num_layers=max(args.num_classes - 2, 1), seed=99,
+    )
+    ds = SyntheticOCTDataset(dcfg, args.num_val, args.batch_size)
+
+    import jax.numpy as jnp
+
+    state = trainer.init_state(
+        jnp.zeros((1, args.image_size, args.image_size, 1))
+    )
+    if args.checkpoint:
+        from .training.checkpoint import load_model
+
+        state = load_model(args.checkpoint, jax.device_get(state))
+    else:
+        print("note: no --checkpoint given; evaluating random init")
+
+    m = trainer.evaluate(state, ds)
+    print(f"pixel_accuracy: {m['pixel_accuracy']:.4f}")
+    for name in ("dice", "iou", "sensitivity", "specificity", "precision"):
+        vals = " ".join(f"{v:.4f}" for v in m[name])
+        print(f"{name:12s} per-class: {vals}")
+    return m
+
+
 def cmd_smoke(args):
     """Instantiate + forward every model at a small shape (the role of the
     reference's per-file __main__ tests, SURVEY.md §3.4)."""
@@ -209,6 +245,11 @@ def main(argv=None):
     s = sub.add_parser("smoke", parents=[common])
     s.add_argument("--strict", action="store_true")
     s.set_defaults(fn=cmd_smoke)
+
+    e = sub.add_parser("eval", parents=[common])
+    e.add_argument("--checkpoint", default=None)
+    e.add_argument("--num-val", type=int, default=16)
+    e.set_defaults(fn=cmd_eval)
 
     i = sub.add_parser("infer", parents=[common])
     i.add_argument("--image-dir", default=None)
