@@ -28,8 +28,6 @@ synthetic B-scans.
 
 from __future__ import annotations
 
-from functools import partial
-
 import numpy as np
 
 import jax

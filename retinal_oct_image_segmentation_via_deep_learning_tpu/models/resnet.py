@@ -13,7 +13,6 @@ from __future__ import annotations
 
 from typing import Any, Sequence
 
-import jax.numpy as jnp
 from flax import linen as nn
 
 from .blocks import BatchNorm, Conv, kaiming_normal_init

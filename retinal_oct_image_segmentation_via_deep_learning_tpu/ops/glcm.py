@@ -19,8 +19,6 @@ Semantics matched to the reference call
 
 from __future__ import annotations
 
-from functools import partial
-
 import numpy as np
 
 import jax

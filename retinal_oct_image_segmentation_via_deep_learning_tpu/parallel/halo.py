@@ -15,8 +15,6 @@ Standard path for normal sizes remains plain batched DP inference;
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
