@@ -113,3 +113,44 @@ def test_sdnet_unet_variants(rng):
         variables = model.init(jax.random.PRNGKey(0), x)
         out = model.apply(variables, x)
         assert out.shape == (1, 32, 32, 3)
+
+
+def test_sdnet_plain_unet_parity(rng):
+    """Reference SD_Layer_Net U_Net (unet.py:8-75) — constructible, unlike
+    its AttU_Net whose gate constructor is broken — vs our backbone."""
+    import importlib
+    import sys
+    import types
+
+    from reference_loader import REF
+
+    pkg = types.ModuleType("sdref2")
+    pkg.__path__ = [str(REF / "SOTAS/Layers_Segment/SD_Layer_Net")]
+    sys.modules["sdref2"] = pkg
+    ref_unet = importlib.import_module("sdref2.unet")
+
+    from retinal_oct_image_segmentation_via_deep_learning_tpu.models.sdnet.unet import (
+        U_Net,
+    )
+    from retinal_oct_image_segmentation_via_deep_learning_tpu.utils.torch_compat import (
+        import_torch_state,
+    )
+
+    # reference constraints: Conv_1x1 hardcodes 64 input channels (unet.py:36)
+    # and the decoder concat widths assume strict doubling -> only the default
+    # [64,128,256,512,1024] ladder is actually runnable.
+    chans = [64, 128, 256, 512, 1024]
+    tm = ref_unet.U_Net(img_ch=1, output_ch=3, channels=chans)
+    randomize_torch(tm)
+    tm.eval()
+    x = rng.standard_normal((1, 1, 16, 16)).astype(np.float32)
+    with torch.no_grad():
+        want = tm(torch.from_numpy(x)).numpy().transpose(0, 2, 3, 1)
+
+    fm = U_Net(output_ch=3, channels=tuple(chans))
+    xj = jnp.asarray(x.transpose(0, 2, 3, 1))
+    variables = fm.init(jax.random.PRNGKey(0), xj)
+    variables = import_torch_state(variables, tm.state_dict())
+    got = np.asarray(fm.apply(variables, xj))
+    scale = max(np.abs(want).max(), 1.0)
+    np.testing.assert_allclose(got / scale, want / scale, atol=1e-4)
