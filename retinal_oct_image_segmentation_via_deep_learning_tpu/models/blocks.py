@@ -71,11 +71,29 @@ class Conv(nn.Module):
         d = self.kernel_dilation
         if isinstance(d, int):
             d = (d, d)
+        padding = _pad2(self.padding)
+
+        # Spatial (H-sharded) partitioning: exchange this conv's own padding
+        # rows with mesh neighbors (zeros at the global border == unsharded
+        # 'same' zero-padding), then convolve VALID in H — exact per-layer
+        # context parallelism (see parallel.halo).
+        from ..parallel.halo import current_spatial_axis, halo_exchange
+
+        axis = current_spatial_axis()
+        if axis is not None and not isinstance(padding, str):
+            (ph, _), pw = padding
+            if ph > 0:
+                assert x.shape[1] % s[0] == 0, (
+                    f"shard height {x.shape[1]} not divisible by H-stride "
+                    f"{s[0]} under spatial partitioning"
+                )
+                x = halo_exchange(x, ph, axis_name=axis, edge="zero")
+                padding = [(0, 0), pw]
         return nn.Conv(
             self.features,
             k,
             strides=s,
-            padding=_pad2(self.padding),
+            padding=padding,
             feature_group_count=self.feature_group_count,
             kernel_dilation=d,
             use_bias=self.use_bias,
@@ -106,6 +124,16 @@ class ConvTranspose(nn.Module):
         import jax
 
         k, s, p = self.kernel_size, self.strides, self.padding
+        from ..parallel.halo import current_spatial_axis
+
+        if current_spatial_axis() is not None and not (
+            k == s and p == 0 and self.output_padding == 0
+        ):
+            # Overlapping transpose-convs would need halo exchange on the
+            # *output*; the zoo only uses the non-overlapping (local) form.
+            raise NotImplementedError(
+                "spatial partitioning supports only k==s, p==0 transpose convs"
+            )
         in_ch = x.shape[-1]
         # Stored like torch (flipped at use): shape (k, k, in, out) so fan_in
         # for init matches torch's (in_ch * k * k) on the transposed op.

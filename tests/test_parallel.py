@@ -45,32 +45,74 @@ def test_dp_train_step_8way(rng):
     assert np.isfinite(float(loss))
 
 
-def test_halo_exchange_matches_full_conv(rng):
-    """Spatially sharded conv == unsharded conv when halo >= receptive field."""
+def test_halo_exchange_conv_exact_everywhere(rng):
+    """halo_exchange(edge="zero") + VALID-in-H conv == unsharded 'same' conv
+    at every pixel — including the global image borders."""
+    from jax import shard_map
+    from retinal_oct_image_segmentation_via_deep_learning_tpu.parallel.halo import (
+        halo_exchange,
+    )
+
+    mesh = create_mesh(data=1, space=4)
+    x = jnp.asarray(rng.standard_normal((2, 64, 32, 3)).astype(np.float32))
+    w = jnp.asarray(rng.standard_normal((5, 5, 3, 4)).astype(np.float32))
+
+    def conv(inp, padding):
+        return jax.lax.conv_general_dilated(
+            inp, w, (1, 1), padding,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+
+    def local_fn(xl):
+        ext = halo_exchange(xl, 2, axis_name=SPACE_AXIS, edge="zero")
+        return conv(ext, [(0, 0), (2, 2)])
+
+    sharded = jax.jit(
+        shard_map(
+            local_fn, mesh=mesh,
+            in_specs=P(None, SPACE_AXIS, None, None),
+            out_specs=P(None, SPACE_AXIS, None, None),
+        )
+    )(x)
+    full = conv(x, [(2, 2), (2, 2)])
+    np.testing.assert_allclose(np.asarray(sharded), np.asarray(full),
+                               atol=1e-5)
+
+
+def test_spatial_shard_unet_exact(rng):
+    """spatial_shard_infer on the registry U-Net == single-device forward at
+    every pixel (VERDICT r1 item 4: borders included, no exclusions).
+
+    Params AND BN running stats are randomized so the halo rows are nonzero
+    after the first conv — the case a one-shot input halo gets wrong."""
+    from retinal_oct_image_segmentation_via_deep_learning_tpu.models.unet import (
+        UNet,
+    )
     from retinal_oct_image_segmentation_via_deep_learning_tpu.parallel.halo import (
         spatial_shard_infer,
     )
 
-    mesh = create_mesh(data=1, space=4)
-    x = rng.standard_normal((2, 64, 32, 3)).astype(np.float32)
-    w = rng.standard_normal((5, 5, 3, 4)).astype(np.float32)
+    model = UNet(out_channels=4, init_features=8, dtype=jnp.float32)
+    x = jnp.asarray(rng.standard_normal((2, 64, 32, 1)).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(0), x)
 
-    def apply_fn(variables, inp):
-        return jax.lax.conv_general_dilated(
-            inp, variables["w"], (1, 1), [(2, 2), (2, 2)],
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        )
+    def randomize(path, leaf):
+        name = path[-1].key if hasattr(path[-1], "key") else str(path[-1])
+        arr = rng.standard_normal(leaf.shape).astype(np.float32)
+        if name == "var":
+            arr = 0.5 + np.abs(arr)  # positive variance
+        return jnp.asarray(arr * 0.3 if name not in ("var",) else arr)
 
-    variables = {"w": jnp.asarray(w)}
-    full = apply_fn(variables, jnp.asarray(x))
-    sharded = spatial_shard_infer(apply_fn, variables, jnp.asarray(x),
-                                  mesh, halo=4)
-    # interior must match exactly; shard boundaries see replicate-padded
-    # halos only at the global image edge, which the full conv pads with
-    # zeros -> compare away from the global border
-    np.testing.assert_allclose(
-        np.asarray(sharded)[:, 4:-4], np.asarray(full)[:, 4:-4], atol=1e-5
+    variables = jax.tree_util.tree_map_with_path(randomize, variables)
+
+    full = model.apply(variables, x, train=False)
+
+    mesh = create_mesh(data=1, space=4)  # H shard = 16 = one pool-16 block
+    sharded = spatial_shard_infer(
+        lambda v, t: model.apply(v, t, train=False), variables, x, mesh
     )
+    np.testing.assert_allclose(np.asarray(sharded), np.asarray(full),
+                               atol=1e-4, rtol=1e-4)
 
 
 def test_sliding_window_matches_direct(rng):
