@@ -33,68 +33,82 @@ import jax.numpy as jnp
 # ---------------------------------------------------------------------------
 
 
-def _interp(level, v0, v1):
-    with np.errstate(divide="ignore", invalid="ignore"):
-        return (level - v0) / (v1 - v0)
+# Directed-segment lookup: case (bit 1=ul, 2=ur, 4=ll, 8=lr above level) ->
+# up to two (start_edge, end_edge) pairs over edges T=0, B=1, L=2, R=3; -1 =
+# no segment. Saddles (6, 9) use 'low' connectivity, matching skimage's
+# default. Same emission order as the original per-cell branch ladder.
+_T, _B, _L, _R, _N = 0, 1, 2, 3, -1
+_CASE_TABLE = np.array(
+    [
+        (_N, _N, _N, _N),  # 0
+        (_T, _L, _N, _N),  # 1
+        (_R, _T, _N, _N),  # 2
+        (_R, _L, _N, _N),  # 3
+        (_L, _B, _N, _N),  # 4
+        (_T, _B, _N, _N),  # 5
+        (_R, _T, _L, _B),  # 6  saddle
+        (_R, _B, _N, _N),  # 7
+        (_B, _R, _N, _N),  # 8
+        (_T, _L, _B, _R),  # 9  saddle
+        (_B, _T, _N, _N),  # 10
+        (_B, _L, _N, _N),  # 11
+        (_L, _R, _N, _N),  # 12
+        (_T, _R, _N, _N),  # 13
+        (_L, _T, _N, _N),  # 14
+        (_N, _N, _N, _N),  # 15
+    ],
+    dtype=np.int8,
+)
 
 
 def _cell_segments(arr, level):
-    """Yield directed segments ((r,c) float endpoints) in scan order."""
+    """Directed segments ((r,c) float endpoints) in scan order — vectorized.
+
+    The round-1 pure-Python double loop cost O(H*W) Python iterations
+    (~261k cells for a 512^2 mask, slower than the reference's C skimage);
+    here the case map, edge interpolations, and segment gathers are NumPy
+    array ops, leaving only the final tuple materialization in Python
+    (O(#segments) ~ O(perimeter))."""
     H, W = arr.shape
-    segs = []
-    for r0 in range(H - 1):
-        r1 = r0 + 1
-        for c0 in range(W - 1):
-            c1 = c0 + 1
-            ul = arr[r0, c0]
-            ur = arr[r0, c1]
-            ll = arr[r1, c0]
-            lr = arr[r1, c1]
-            case = (
-                (1 if ul > level else 0)
-                + (2 if ur > level else 0)
-                + (4 if ll > level else 0)
-                + (8 if lr > level else 0)
-            )
-            if case in (0, 15):
-                continue
-            top = (r0, c0 + _interp(level, ul, ur))
-            bottom = (r1, c0 + _interp(level, ll, lr))
-            left = (r0 + _interp(level, ul, ll), c0)
-            right = (r0 + _interp(level, ur, lr), c1)
-            if case == 1:
-                segs.append((top, left))
-            elif case == 2:
-                segs.append((right, top))
-            elif case == 3:
-                segs.append((right, left))
-            elif case == 4:
-                segs.append((left, bottom))
-            elif case == 5:
-                segs.append((top, bottom))
-            elif case == 6:
-                # saddle, 'low' connectivity
-                segs.append((right, top))
-                segs.append((left, bottom))
-            elif case == 7:
-                segs.append((right, bottom))
-            elif case == 8:
-                segs.append((bottom, right))
-            elif case == 9:
-                # saddle, 'low' connectivity
-                segs.append((top, left))
-                segs.append((bottom, right))
-            elif case == 10:
-                segs.append((bottom, top))
-            elif case == 11:
-                segs.append((bottom, left))
-            elif case == 12:
-                segs.append((left, right))
-            elif case == 13:
-                segs.append((top, right))
-            elif case == 14:
-                segs.append((left, top))
-    return segs
+    if H < 2 or W < 2:
+        return []
+    ul = arr[:-1, :-1]
+    ur = arr[:-1, 1:]
+    ll = arr[1:, :-1]
+    lr = arr[1:, 1:]
+    case = (
+        (ul > level).astype(np.int8)
+        + 2 * (ur > level)
+        + 4 * (ll > level)
+        + 8 * (lr > level)
+    )
+    ncell = (H - 1) * (W - 1)
+    sel = _CASE_TABLE[case].reshape(ncell, 2, 2)  # (cell, slot, start/end)
+    cell_idx, slot_idx = np.nonzero(sel[:, :, 0] >= 0)  # row-major = scan order
+    e_start = sel[cell_idx, slot_idx, 0]
+    e_end = sel[cell_idx, slot_idx, 1]
+
+    # Interpolate edge crossings only for the O(perimeter) selected cells.
+    r0 = (cell_idx // (W - 1)).astype(np.float64)
+    c0 = (cell_idx % (W - 1)).astype(np.float64)
+    ulv = ul.reshape(-1)[cell_idx]
+    urv = ur.reshape(-1)[cell_idx]
+    llv = ll.reshape(-1)[cell_idx]
+    lrv = lr.reshape(-1)[cell_idx]
+    # Unselected edges may divide by zero (suppressed — np.choose below only
+    # reads edges their case actually crosses).
+    with np.errstate(divide="ignore", invalid="ignore"):
+        rows = [r0, r0 + 1.0,
+                r0 + (level - ulv) / (llv - ulv),
+                r0 + (level - urv) / (lrv - urv)]       # T, B, L, R
+        cols = [c0 + (level - ulv) / (urv - ulv),
+                c0 + (level - llv) / (lrv - llv),
+                c0, c0 + 1.0]
+    sr, sc = np.choose(e_start, rows), np.choose(e_start, cols)
+    er, ec = np.choose(e_end, rows), np.choose(e_end, cols)
+    return [
+        ((sr[i], sc[i]), (er[i], ec[i])) for i in range(len(cell_idx))
+    ]
 
 
 def find_contours(array, level: float = 0.5) -> list[np.ndarray]:
