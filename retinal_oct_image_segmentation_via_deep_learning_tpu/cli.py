@@ -160,9 +160,11 @@ def cmd_eval(args):
 
     m = trainer.evaluate(state, ds)
     print(f"pixel_accuracy: {m['pixel_accuracy']:.4f}")
-    for name in ("dice", "iou", "sensitivity", "specificity", "precision"):
-        vals = " ".join(f"{v:.4f}" for v in m[name])
-        print(f"{name:12s} per-class: {vals}")
+    for name in ("dice", "iou", "sensitivity", "specificity", "precision",
+                 "hd95", "assd", "thickness_diff", "vi_diff"):
+        if name in m:
+            vals = " ".join(f"{v:.4f}" for v in m[name])
+            print(f"{name:14s} per-class: {vals}")
     return m
 
 

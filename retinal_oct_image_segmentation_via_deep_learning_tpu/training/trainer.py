@@ -192,19 +192,35 @@ class Trainer:
             self.ckpt.wait()
         return best_state if val_ds is not None else state
 
-    def evaluate(self, state: TrainState, dataset, epoch: int = 0):
+    def evaluate(self, state: TrainState, dataset, epoch: int = 0,
+                 contour_metrics: bool = True, max_points: int = 1024):
         """Full on-device metric suite over a dataset (BASELINE config 5):
         per-class Dice/IoU/sensitivity/specificity/precision + confusion
-        matrix, aggregated over all batches in one confusion-matrix pass."""
+        matrix in one aggregated confusion pass, plus (``contour_metrics``)
+        per-class HD95/ASSD and thickness/vascularity differences — all five
+        reference metric families (SURVEY.md §2.1) in one call."""
         import numpy as np
 
-        from ..metrics.volume import volume_confusion
+        from ..metrics.volume import volume_boundary_metrics, volume_confusion
 
         nc = self.cfg.model.num_classes
         cm = jnp.zeros((nc, nc), jnp.float32)
+        bnd_sums: dict[str, Any] = {}
+        valid_count = jnp.zeros((nc,), jnp.float32)
+        n_slices = 0
         for images, labels in dataset.epoch(epoch):
             preds = self.predict(state, images)
             cm = cm + volume_confusion(labels, preds, nc)
+            if contour_metrics:
+                b = volume_boundary_metrics(labels, preds, nc, max_points)
+                v = b["valid"].astype(jnp.float32)  # (B, nc)
+                valid_count = valid_count + jnp.sum(v, axis=0)
+                n_slices += labels.shape[0]
+                for k in ("hd95", "assd"):
+                    s = jnp.sum(jnp.where(b["valid"], b[k], 0.0), axis=0)
+                    bnd_sums[k] = bnd_sums.get(k, 0.0) + s
+                for k in ("thickness_diff", "vi_diff"):
+                    bnd_sums[k] = bnd_sums.get(k, 0.0) + jnp.sum(b[k], axis=0)
         # derive the metric dict from the aggregated confusion matrix
         total = jnp.sum(cm)
         tp = jnp.diag(cm)
@@ -212,7 +228,7 @@ class Trainer:
         fn = jnp.sum(cm, axis=1) - tp
         tn = total - tp - fp - fn
         eps = 1e-7
-        return {
+        out = {
             "confusion": np.asarray(cm),
             "dice": np.asarray(2 * tp / (2 * tp + fp + fn + eps)),
             "iou": np.asarray(tp / (tp + fp + fn + eps)),
@@ -221,6 +237,16 @@ class Trainer:
             "precision": np.asarray(tp / (tp + fp + eps)),
             "pixel_accuracy": float(jnp.sum(tp) / jnp.maximum(total, 1.0)),
         }
+        if contour_metrics and n_slices:
+            denom = jnp.maximum(valid_count, 1.0)
+            out["hd95"] = np.asarray(bnd_sums["hd95"] / denom)
+            out["assd"] = np.asarray(bnd_sums["assd"] / denom)
+            out["thickness_diff"] = np.asarray(
+                bnd_sums["thickness_diff"] / n_slices
+            )
+            out["vi_diff"] = np.asarray(bnd_sums["vi_diff"] / n_slices)
+            out["contour_valid_slices"] = np.asarray(valid_count)
+        return out
 
     # -- inference --------------------------------------------------------
     def predict(self, state: TrainState, images):

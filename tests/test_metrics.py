@@ -193,3 +193,29 @@ def test_device_surface_distance_identity():
     m = _blob((32, 32), (16, 16), 8)
     assert float(M.contour.hausdorff_distance_device(m, m)) == 0.0
     assert float(M.contour.assd_device(m, m)) == 0.0
+
+
+def test_volume_boundary_metrics(rng):
+    """Per-class on-device contour+biomarker pass (Trainer.evaluate backend)."""
+    from retinal_oct_image_segmentation_via_deep_learning_tpu.metrics.volume import (
+        volume_boundary_metrics,
+    )
+
+    B, H, W, nc = 2, 32, 32, 3
+    yt = rng.integers(0, 2, (B, H, W)).astype(np.int32)
+    yt[:, 10:20, 10:20] = 2
+    yp = np.roll(yt, 2, axis=1)
+    out = volume_boundary_metrics(yt, yp, nc, max_points=512)
+    assert out["hd95"].shape == (B, nc)
+    assert bool(out["valid"].all())
+    # identical volumes: zero distances / differences
+    same = volume_boundary_metrics(yt, yt, nc, max_points=512)
+    for k in ("hd95", "assd", "thickness_diff", "vi_diff"):
+        assert float(np.nanmax(np.asarray(same[k]))) == 0.0
+    # thickness_diff matches the reference column-sum formula per class
+    c = 2
+    td_ref = np.mean(
+        np.abs((yt == c).sum(axis=1) - (yp == c).sum(axis=1)), axis=1
+    )
+    np.testing.assert_allclose(np.asarray(out["thickness_diff"])[:, c],
+                               td_ref, atol=1e-4)
