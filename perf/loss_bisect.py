@@ -1,0 +1,128 @@
+"""Bisect the dice_ce train-step anomaly (round-1: sum loss 3.5 ms/img,
+dice_ce 9.7 ms/img — ~6 ms/img unexplained).
+
+Measures the full U-Net train step (fwd+bwd+Adam) under loss variants:
+  sum          — trivial sum of logits (baseline)
+  ce           — one-hot CE only
+  dice         — soft dice only
+  dice_ce      — the production fused loss (jax.checkpoint-wrapped)
+  dice_ce_nock — same without jax.checkpoint
+  ce_bf16      — CE with bf16 internals (no fp32 cast)
+  dice_nosum   — dice with per-class sums replaced by a single mean (probe
+                 whether the (B,H,W)->(C,) reductions are the cost)
+
+Usage: python perf/loss_bisect.py [variant ...]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+from functools import partial
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+SIZE = 512
+BATCH = 32
+
+
+def _losses():
+    from retinal_oct_image_segmentation_via_deep_learning_tpu.training.losses import (
+        _dice_ce_core,
+        dice_ce_loss,
+        dice_loss,
+        softmax_cross_entropy,
+    )
+
+    def sum_loss(logits, labels, cw=None):
+        return jnp.sum(logits.astype(jnp.float32)) * 1e-9
+
+    def dice_ce_nock(logits, labels, cw=None):
+        return _dice_ce_core(logits, labels, cw, 1.0)
+
+    def ce_bf16(logits, labels, cw=None):
+        nc = logits.shape[-1]
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        onehot = jax.nn.one_hot(labels, nc, dtype=logits.dtype)
+        return -jnp.mean(jnp.sum(logp * onehot, axis=-1).astype(jnp.float32))
+
+    def dice_nosum(logits, labels, cw=None):
+        logits = logits.astype(jnp.float32)
+        nc = logits.shape[-1]
+        probs = jax.nn.softmax(logits, axis=-1)
+        onehot = jax.nn.one_hot(labels, nc, dtype=jnp.float32)
+        return 1.0 - jnp.mean(probs * onehot) * nc
+
+    return {
+        "sum": sum_loss,
+        "ce": softmax_cross_entropy,
+        "dice": dice_loss,
+        "dice_ce": dice_ce_loss,
+        "dice_ce_nock": dice_ce_nock,
+        "ce_bf16": ce_bf16,
+        "dice_nosum": dice_nosum,
+    }
+
+
+def measure(loss_fn, name):
+    from retinal_oct_image_segmentation_via_deep_learning_tpu.config import (
+        ModelConfig,
+        TrainConfig,
+    )
+    from retinal_oct_image_segmentation_via_deep_learning_tpu.training.trainer import (
+        Trainer,
+        make_train_step,
+    )
+
+    cfg = TrainConfig(
+        model=ModelConfig(name="unet", num_classes=10,
+                          kwargs={"init_features": 32}),
+        compute_dtype="bfloat16",
+    )
+    trainer = Trainer(cfg)
+    state = trainer.init_state(jnp.zeros((1, SIZE, SIZE, 1), jnp.bfloat16))
+    step = make_train_step(trainer.model, loss_fn)
+
+    @partial(jax.jit, static_argnums=1, donate_argnums=0)
+    def run(state, iters: int):
+        def body(carry, k):
+            st, acc = carry
+            x = jax.random.bits(k, (BATCH, SIZE, SIZE, 1), jnp.uint16)
+            x = (x.astype(jnp.bfloat16) / 65536.0) - 0.5
+            y = jax.random.randint(k, (BATCH, SIZE, SIZE), 0, 10)
+            st, loss = step(st, x, y)
+            return (st, acc + loss.astype(jnp.float32)), None
+
+        (state, total), _ = jax.lax.scan(
+            body, (state, jnp.float32(0)),
+            jax.random.split(jax.random.PRNGKey(0), iters),
+        )
+        return total
+
+    def t(iters):
+        s = jax.tree.map(lambda a: a + 0, state)
+        float(run(s, iters))
+        best = float("inf")
+        for _ in range(2):
+            s = jax.tree.map(lambda a: a + 0, state)
+            t0 = time.perf_counter()
+            float(run(s, iters))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    per_step = (t(10) - t(2)) / 8
+    print(
+        f"{name:13s}: {per_step*1e3:7.1f} ms/step  "
+        f"{per_step/BATCH*1e3:5.2f} ms/img  {BATCH/per_step:6.0f} scans/s",
+        flush=True,
+    )
+
+
+if __name__ == "__main__":
+    table = _losses()
+    for name in (sys.argv[1:] or list(table)):
+        measure(table[name], name)

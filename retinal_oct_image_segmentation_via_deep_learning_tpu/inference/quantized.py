@@ -28,6 +28,8 @@ synthetic B-scans.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 import jax
@@ -165,18 +167,35 @@ def calibrate_unet(layers, sample_batches):
 # ---------------------------------------------------------------------------
 
 
-def quantize_unet(layers, taps):
-    """-> qparams: int8 weights + fp32 scale vectors per layer."""
+def quantize_unet(layers, taps, pallas: bool = True):
+    """-> qparams: int8 weights + fp32 scale vectors per layer.
+
+    ``pallas=True`` additionally packs every 3x3 conv's weights into the
+    block-banded layout of ``ops.pallas_conv_int8`` (``by`` output rows per
+    GEMM block chosen to fill the MXU's 128 lanes: by = 128/cout, capped 4);
+    ``unet_int8_forward`` then routes those convs through the Pallas int8
+    kernel (332-386 TFLOPs measured on v5e vs XLA int8's bf16-rate)."""
+    from ..ops.pallas_conv_int8 import pack_weights
+
     q = {}
     for name, lw in layers.items():
         w = lw["w"]
         s_w = np.max(np.abs(w), axis=(0, 1, 2)) / 127.0  # per out-channel
         s_w = np.maximum(s_w, 1e-12)
+        w_q = np.clip(np.round(w / s_w), -127, 127).astype(np.int8)
         q[name] = {
-            "w_q": np.clip(np.round(w / s_w), -127, 127).astype(np.int8),
+            "w_q": w_q,
             "s_w": s_w.astype(np.float32),
             "b": lw["b"],
         }
+        cin, cout = w.shape[2], w.shape[3]
+        # Pallas wins only when the contraction is MXU-deep (cin >= 128):
+        # measured 232-386 TFLOPs there vs XLA int8's ~bf16 rate; at
+        # cin < 128 every in-kernel patch-assembly variant measured slower
+        # than XLA (11-107 TFLOPs) -- those stages stay on lax.conv.
+        if pallas and w.shape[:2] == (3, 3) and cin >= 128:
+            by = max(1, min(4, 128 // cout))
+            q[name]["w_packed"] = pack_weights(w_q, by)
     scales = {}
     for key, absmax in taps.items():
         scales[key] = np.float32(max(absmax, 1e-12) / 127.0)
@@ -184,12 +203,37 @@ def quantize_unet(layers, taps):
     return q
 
 
+def _pick_th(H):
+    """Grid strip rows: 16 pipelines well (measured); whole-image for small H."""
+    if H <= 32:
+        return H
+    return 16 if H % 16 == 0 else 8
+
+
 def _qconv(xq, s_in, layer, s_out, relu=True, transpose=False):
     """int8 conv + fused requant epilogue.
 
     xq int8, s_in scalar; layer holds w_q (int8) + per-channel s_w + fp bias.
-    Output int8 at scale s_out (or fp32 when s_out is None).
+    Output int8 at scale s_out (or fp32 when s_out is None). 3x3 convs with
+    packed weights route through the Pallas int8 MXU kernel; transpose convs,
+    the 1x1 head, and the 1-channel stem stay on XLA.
     """
+    use_pallas = (
+        jax.default_backend() == "tpu"
+        and os.environ.get("OCTSEG_INT8_BACKEND", "pallas") != "xla"
+    )
+    if use_pallas and not transpose and s_out is not None and "w_packed" in layer:
+        from ..ops.pallas_conv_int8 import conv3x3_int8
+
+        by = layer["w_packed"].shape[1] // layer["s_w"].shape[0]
+        th = _pick_th(xq.shape[1])
+        if th % by == 0:
+            scale = s_in * layer["s_w"] / s_out
+            bias = layer["b"] / s_out
+            return conv3x3_int8(
+                xq, layer["w_packed"], scale, bias,
+                by=by, relu=relu, out_int8=True, th=th,
+            )
     dn = ("NHWC", "HWIO", "NHWC")
     if transpose:
         acc = jax.lax.conv_general_dilated(

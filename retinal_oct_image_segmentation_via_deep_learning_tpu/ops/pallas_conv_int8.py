@@ -5,19 +5,36 @@ Why: XLA's ``lax.conv`` int8 path runs at bf16 rate on this stack (measured
 operands reaches ~337 TFLOPs on v5e vs ~168 bf16 — the full 2x int8 MXU
 advantage. This kernel brings that rate to the quantized U-Net's 3x3 convs.
 
-Formulation: im2col built in VMEM. The grid tiles (batch, H/TH) output
-strips. Row overlap between strips is handled by feeding three row-shifted
-copies of the padded input (dy = 0, 1, 2) — each maps to a plain
-non-overlapping BlockSpec, sidestepping halo DMA entirely at the cost of 3x
-input reads (int8 input traffic is negligible next to the matmul). Inside
-the kernel the 3 x 3 shifted views are concatenated into a
-(TH*W, 9*Cin) patch matrix — contraction depth 9*Cin >= 288 keeps the MXU
-fed even at Cin=32 — and ONE ``dot_general`` against the (9*Cin, Cout)
-repacked weights accumulates int32. The requantization epilogue
-(per-channel scale, +bias, optional ReLU, clamp, int8 cast) is fused
-in-kernel so activations leave as int8 — no extra HBM pass.
+v2 design (round 2):
 
-Constraints: stride 1, 'same' padding (handled here), H % TH == 0.
+* **Output-row blocking (``by``)** — the round-1 kernel mapped GEMM lanes to
+  ``cout``, so the 32/64-channel full-resolution stages used 32/64 of the
+  MXU's 128 lanes (hard ceiling 98/197 int8 TFLOPs). Here ``by`` output rows
+  are computed per GEMM row-block, packing ``(by, cout)`` into the lane
+  dimension: N = by*cout = 128 at every stage. The weight matrix is
+  block-banded — tap row ``dy'`` contributes to output sub-row ``o`` iff
+  ``0 <= dy' - o <= 2`` — so the density is ``9 / (3*(by+2))`` (by=4: 50%,
+  by=2: 75%, by=1: 100%), trading zero-FLOPs for full lanes: ceiling
+  197T at 32ch (vs 98T), 295T at 64ch.
+* **1x-read halo rows** — instead of three full row-shifted copies of the
+  input (3x HBM traffic), the kernel takes the body strip plus two
+  single-row halo arrays (previous strip's last row / next strip's first
+  row, zeros at image borders = 'same' zero padding). Extra HBM read is
+  2/th of the input instead of 2x.
+* **Small strips (``th``)** so Pallas's automatic pipelining double-buffers
+  input/output DMA against the MXU (the round-1 512-wide th=64 blocks
+  overflowed VMEM and serialized).
+
+Inside the kernel the ``(by+2)*3`` shifted taps are assembled from the
+(th+2, W+2, C) tile: row-strided views via a reshape trick (slice th rows,
+reshape (th/by, by, ...), take [:, 0]), lane shifts for dx. For cin < 128
+the taps are concatenated into one (th/by*W, 3*(by+2)*cin) patch matrix so
+the contraction depth fills the MXU; for cin >= 128 per-tap dots accumulate
+in int32 vregs (measured faster than the concat at >=128ch). The
+requantization epilogue (per-channel scale, +bias, optional ReLU, clamp,
+int8 cast) is fused in-kernel so activations leave as int8.
+
+Constraints: stride 1, 'same' zero padding, H % th == 0, th % by == 0.
 """
 
 from __future__ import annotations
@@ -32,83 +49,158 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def pack_weights(w):
-    """(3, 3, Cin, Cout) -> (9*Cin, Cout), tap-major to match the kernel's
-    im2col assembly order."""
+def pack_weights(w, by: int = 1):
+    """(3, 3, Cin, Cout) -> (3*(by+2)*Cin, by*Cout) block-banded matrix.
+
+    Row index is (dx, dy', ci) — dx-major so each of the kernel's three
+    dx-grouped dots reads a contiguous row block; column index is (o, co)
+    with o the output sub-row within a by-block.
+    W[(dx,dy',ci), (o,co)] = w[dy'-o,dx,ci,co] when 0 <= dy'-o <= 2, else 0.
+    """
     kh, kw, cin, cout = w.shape
-    return np.asarray(w).reshape(kh * kw * cin, cout)
+    assert (kh, kw) == (3, 3)
+    w = np.asarray(w)
+    packed = np.zeros((kw, (by + 2), cin, by, cout), w.dtype)
+    for o in range(by):
+        for ky in range(kh):
+            packed[:, o + ky, :, o, :] = w[ky]
+    return packed.reshape(kw * (by + 2) * cin, by * cout)
 
 
-def _make_kernel(th, W, cin, cout, relu, out_int8):
-    def kernel(x0_ref, x1_ref, x2_ref, w_ref, scale_ref, bias_ref, o_ref):
-        # Nine per-tap matmuls accumulated in int32 vregs — avoids
-        # materializing an im2col patch matrix (measured 4x faster than the
-        # concat formulation at Cin >= 128).
-        rows = (x0_ref, x1_ref, x2_ref)
-        acc = None
-        for dy in range(3):
+def _make_kernel(th, by, W, cin, cout, relu, out_int8, force_per_tap=False):
+    nb = th // by
+    ntaps = (by + 2) * 3
+
+    def kernel(top_ref, body_ref, bot_ref, w_ref, scale_ref, bias_ref, o_ref):
+        tile = jnp.concatenate(
+            [top_ref[0, 0][None], body_ref[0], bot_ref[0, 0][None]], axis=0
+        )  # (th+2, W, C)
+        # (by-1) trailing dummy rows let every tap slice th rows for the
+        # strided reshape below; the [:, 0] stride never selects them.
+        padded = jnp.pad(tile, ((0, by - 1), (1, 1), (0, 0)))  # (th+1+by,W+2,C)
+
+        def tap(dyp, dx):
+            rows = padded[dyp : dyp + th]
+            if by > 1:
+                rows = rows.reshape(nb, by, W + 2, cin)[:, 0]
+            return rows[:, dx : dx + W, :]  # (nb, W, cin)
+
+        kdx = (by + 2) * cin  # packed-weight rows per dx group
+        if cin < 128 and not force_per_tap:
+            # Three dx-grouped dots, K = (by+2)*cin each: the dy' slices at a
+            # fixed dx share identical vector layouts (dy' selection is a
+            # major-dim pick), so their lane-concat is legal and free of the
+            # relayout cost that made a full 9/18-tap im2col scratch 10-20x
+            # slower than the MXU work it fed (measured round 2).
+            acc = None
             for dx in range(3):
-                sl = rows[dy][0, :, dx : dx + W, :]  # (th, W, cin)
-                a = sl.reshape(th * W, cin)
-                wk = w_ref[(dy * 3 + dx) * cin : (dy * 3 + dx + 1) * cin, :]
+                p = jnp.concatenate(
+                    [tap(dyp, dx) for dyp in range(by + 2)], axis=-1
+                ).reshape(nb * W, kdx)
                 part = jax.lax.dot_general(
-                    a, wk, (((1,), (0,)), ((), ())),
+                    p, w_ref[dx * kdx : (dx + 1) * kdx, :],
+                    (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.int32,
                 )
                 acc = part if acc is None else acc + part
+        else:
+            # Per-tap dots accumulated in int32 vregs (K=cin already fills
+            # the MXU; measured 332 TFLOPs at 128ch).
+            acc = None
+            for dx in range(3):
+                for dyp in range(by + 2):
+                    a = tap(dyp, dx).reshape(nb * W, cin)
+                    t = dx * (by + 2) + dyp
+                    part = jax.lax.dot_general(
+                        a, w_ref[t * cin : (t + 1) * cin, :],
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.int32,
+                    )
+                    acc = part if acc is None else acc + part
+
         y = acc.astype(jnp.float32) * scale_ref[0] + bias_ref[0]
         if relu:
             y = jnp.maximum(y, 0.0)
         if out_int8:
             y = jnp.clip(jnp.round(y), -127.0, 127.0).astype(jnp.int8)
-        o_ref[0] = y.reshape(th, W, cout)
+        # Unpack the (o, co) lane packing into the output's explicit sub-row
+        # dim via per-o lane slices (a lanes->sublanes reshape/transpose is
+        # unsupported by Mosaic; the block's (g, o, x) row order reshapes to
+        # image rows for free outside).
+        y = y.reshape(nb, W, by * cout)
+        for o in range(by):
+            o_ref[0, :, o] = y[:, :, o * cout : (o + 1) * cout]
 
     return kernel
 
 
-@partial(jax.jit, static_argnames=("relu", "out_int8", "th", "interpret"))
-def conv3x3_int8(x, w_packed, scale, bias, relu=True, out_int8=True,
-                 th=16, interpret=False):
-    """x: (N, H, W, Cin) int8; w_packed: (9*Cin, Cout) int8;
+@partial(jax.jit, static_argnames=("by", "relu", "out_int8", "th",
+                                   "interpret", "force_per_tap"))
+def conv3x3_int8(x, w_packed, scale, bias, *, by=1, relu=True, out_int8=True,
+                 th=16, interpret=False, force_per_tap=False):
+    """x: (N, H, W, Cin) int8; w_packed: pack_weights(w, by) int8;
     scale: (Cout,) fp32 (= s_in*s_w/s_out); bias: (Cout,) fp32 (already in
     output-scale units). Returns (N, H, W, Cout) int8 (fp32 with
     out_int8=False)."""
     N, H, W, cin = x.shape
-    cout = w_packed.shape[1]
-    assert H % th == 0, (H, th)
-    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
-    shifted = [xp[:, dy : dy + H] for dy in range(3)]  # (N, H, W+2, cin) x3
+    assert th % by == 0 and H % th == 0, (H, th, by)
+    cout = w_packed.shape[1] // by
+    assert w_packed.shape[0] == (by + 2) * 3 * cin, (w_packed.shape, by, cin)
+    S = H // th
+
+    zrow = jnp.zeros((N, 1, W, cin), x.dtype)
+    # Halo rows: strip s sees row th-1 of strip s-1 above and row 0 of strip
+    # s+1 below; zeros at the image border ('same' zero padding). Strided row
+    # slices of the 4-D input — x itself is NOT reshaped (a 5-D reshape made
+    # XLA assign a non-default layout and copy the whole tensor before every
+    # call; the strip indexing lives in the BlockSpec index_map instead).
+    top = jnp.concatenate([zrow, x[:, th - 1 :: th][:, :-1]], axis=1)
+    bot = jnp.concatenate([x[:, th::th], zrow], axis=1)  # (N,S,W,C)
+
+    # scale/bias tiled to the (o, co) lane order of the packed output.
+    scale_p = jnp.tile(scale, by)[None]  # (1, by*cout)
+    bias_p = jnp.tile(bias, by)[None]
 
     out_dtype = jnp.int8 if out_int8 else jnp.float32
-    kern = _make_kernel(th, W, cin, cout, relu, out_int8)
-    strip = pl.BlockSpec(
-        (1, th, W + 2, cin), lambda n, i: (n, i, 0, 0),
-        memory_space=pltpu.VMEM,
+    kern = _make_kernel(th, by, W, cin, cout, relu, out_int8, force_per_tap)
+    halo_spec = pl.BlockSpec(
+        (1, 1, W, cin), lambda n, s: (n, s, 0, 0), memory_space=pltpu.VMEM
     )
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kern,
-        grid=(N, H // th),
+        grid=(N, S),
         in_specs=[
-            strip, strip, strip,
+            halo_spec,
+            pl.BlockSpec(
+                (1, th, W, cin), lambda n, s: (n, s, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            halo_spec,
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, th, W, cout), lambda n, i: (n, i, 0, 0),
+            (1, th // by, by, W, cout), lambda n, s: (n, s, 0, 0, 0),
             memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((N, H, W, cout), out_dtype),
+        out_shape=jax.ShapeDtypeStruct(
+            (N, H // by, by, W, cout), out_dtype
+        ),
         interpret=interpret,
-    )(*shifted, w_packed, scale[None], bias[None])
+    )(top, x, bot, w_packed, scale_p, bias_p)
+    return out.reshape(N, H, W, cout)
 
 
-def conv3x3_int8_reference(x, w_packed, scale, bias, relu=True,
+def conv3x3_int8_reference(x, w_packed, scale, bias, by=1, relu=True,
                            out_int8=True):
     """lax.conv equivalent for correctness checks."""
     cin = x.shape[-1]
-    cout = w_packed.shape[-1]
-    w = jnp.asarray(w_packed).reshape(3, 3, cin, cout)
+    cout = w_packed.shape[-1] // by
+    # Recover the dense (3,3,cin,cout) kernel from the banded pack: output
+    # sub-row o=0 columns hold w[dy', dx] for dy' in 0..2.
+    wp = jnp.asarray(w_packed).reshape(3, by + 2, cin, by, cout)
+    w = wp[:, :3, :, 0, :].transpose(1, 0, 2, 3)
     acc = jax.lax.conv_general_dilated(
         x, w, (1, 1), [(1, 1), (1, 1)],
         dimension_numbers=("NHWC", "HWIO", "NHWC"),

@@ -131,3 +131,25 @@ def test_sliding_window_matches_direct(rng):
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(x) * 2.0 + 1.5, atol=1e-5
     )
+
+
+def test_distributed_init_single_process_noop():
+    from retinal_oct_image_segmentation_via_deep_learning_tpu.parallel.mesh import (
+        distributed_init,
+    )
+
+    # single-process config must not touch the runtime
+    assert distributed_init() is False
+    assert distributed_init(num_processes=1) is False
+
+
+def test_hybrid_mesh_single_slice_fallback():
+    from retinal_oct_image_segmentation_via_deep_learning_tpu.parallel.mesh import (
+        create_hybrid_mesh,
+    )
+
+    mesh = create_hybrid_mesh(space=2)  # 8 virtual devices, 1 process
+    assert mesh.shape == {DATA_AXIS: 4, SPACE_AXIS: 2}
+    # DP train step runs on it (reuses the registry U-Net path)
+    mesh4 = create_hybrid_mesh()
+    assert mesh4.shape[DATA_AXIS] == 8
