@@ -98,14 +98,67 @@ def mark_transposed(units: list[dict], name_predicate: Callable[[str], bool]):
     return units
 
 
+def import_torch_state_named(
+    variables: dict,
+    state_dict,
+    name_map: dict[str, str],
+    *,
+    transposed: Callable[[str], bool] | None = None,
+) -> dict:
+    """Name-based import: ``name_map`` maps flax module paths ('/'-joined,
+    e.g. ``"UNetBlock_0/Conv_0/Conv_0"``) to torch module prefixes (e.g.
+    ``"encoder1.enc1conv1"``). Robust alternative to the order-zipped
+    :func:`import_torch_state` for models whose torch registration order
+    differs from call order; unmapped flax modules keep their init values,
+    and every map entry must consume a torch unit (error otherwise)."""
+    units = torch_units(state_dict)
+    if transposed is not None:
+        units = mark_transposed(units, transposed)
+    by_name = {u["name"]: u for u in units}
+
+    remapped = []
+    params_flat = _flatten(variables.get("params", {}))
+    pgroups = _module_groups(params_flat)
+    for path in pgroups:
+        key = "/".join(str(p) for p in path)
+        if key in name_map:
+            tname = name_map[key]
+            if tname not in by_name:
+                raise ValueError(
+                    f"name_map: torch module '{tname}' not in state_dict "
+                    f"(for flax '{key}')"
+                )
+            remapped.append((path, by_name[tname]))
+
+    mapped_paths = {p for p, _ in remapped}
+
+    def reorder(units_in):
+        # Emit torch units in the flax call order of the mapped modules;
+        # unmapped flax modules are skipped by import via a filter below.
+        return [u for _, u in remapped]
+
+    # Restrict the flax side to mapped modules by importing into a filtered
+    # copy, then grafting the result back.
+    out = import_torch_state(
+        variables, state_dict, transposed=transposed, reorder=reorder,
+        only_paths=mapped_paths,
+    )
+    return out
+
+
 def import_torch_state(
     variables: dict,
     state_dict,
     *,
     transposed: Callable[[str], bool] | None = None,
     reorder: Callable[[list[dict]], list[dict]] | None = None,
+    only_paths: set | None = None,
 ) -> dict:
-    """Return a new flax ``variables`` dict loaded from ``state_dict``."""
+    """Return a new flax ``variables`` dict loaded from ``state_dict``.
+
+    ``only_paths``: restrict the import to these flax module paths (used by
+    :func:`import_torch_state_named`); other modules keep their values and
+    leftover torch units are tolerated only in that mode."""
     units = torch_units(state_dict)
     if transposed is not None:
         units = mark_transposed(units, transposed)
@@ -123,6 +176,8 @@ def import_torch_state(
     # Build flax unit list in call order.
     flax_units = []
     for path, g in pgroups.items():
+        if only_paths is not None and path not in only_paths:
+            continue
         if "kernel" in g:
             kind = "conv" if np.ndim(g["kernel"]) == 4 else "dense"
         elif "scale" in g and path in sgroups:
