@@ -45,7 +45,8 @@ STAGES = {
 }
 
 
-def probe(name, H, W, cin, cout, by, th, per_tap=False):
+def probe(name, H, W, cin, cout, by, th, per_tap=False, fresh=False,
+          xla=False, chain=False):
     from retinal_oct_image_segmentation_via_deep_learning_tpu.ops.pallas_conv_int8 import (
         conv3x3_int8,
         pack_weights,
@@ -53,37 +54,72 @@ def probe(name, H, W, cin, cout, by, th, per_tap=False):
 
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.integers(-100, 100, (BATCH, H, W, cin)), jnp.int8)
-    wp = jnp.asarray(
-        pack_weights(rng.integers(-20, 20, (3, 3, cin, cout)).astype(np.int8), by)
-    )
+    w_dense = rng.integers(-20, 20, (3, 3, cin, cout)).astype(np.int8)
+    wp = jnp.asarray(pack_weights(w_dense, by))
+    wd = jnp.asarray(w_dense)
     scale = jnp.full((cout,), 1e-3, jnp.float32)
     bias = jnp.zeros((cout,), jnp.float32)
+
+    def one_conv(xi, sc):
+        if xla:
+            acc = jax.lax.conv_general_dilated(
+                xi, wd, (1, 1), [(1, 1), (1, 1)],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=jnp.int32)
+            yf = acc.astype(jnp.float32) * sc + bias
+            return jnp.clip(jnp.round(jnp.maximum(yf, 0.0)), -127.0,
+                            127.0).astype(jnp.int8)
+        return conv3x3_int8(xi, wp, sc, bias, by=by, th=th,
+                            force_per_tap=per_tap)
+
+    @partial(jax.jit, static_argnums=(1,))
+    def run_chain(x, iters: int):
+        # Serial conv chain (cin == cout required): output feeds the next
+        # input, so per-call glue (halo slices, layout copies, reshapes)
+        # cannot be hoisted — matches the e2e serving graph's data flow.
+        def body(xc, i):
+            y = one_conv(xc, scale + i.astype(jnp.float32) * 1e-12)
+            return y, None
+        y, _ = jax.lax.scan(body, x, jnp.arange(iters))
+        return y[0, 0, 0, 0].astype(jnp.int32)
 
     @partial(jax.jit, static_argnums=(2,))
     def run(x, wp, iters: int):
         def body(c, i):
             sc = scale + i.astype(jnp.float32) * 1e-12
-            y = conv3x3_int8(x, wp, sc, bias, by=by, th=th,
-                             force_per_tap=per_tap)
+            if fresh:
+                # Regenerate the input per iteration (like the e2e serving
+                # graph) so input-side glue (halo slices, layout copies)
+                # cannot be hoisted out of the loop as invariants.
+                xi = jax.random.randint(
+                    jax.random.fold_in(jax.random.PRNGKey(0), i),
+                    (BATCH, H, W, cin), -100, 100, jnp.int8)
+            else:
+                xi = x
+            y = one_conv(xi, sc)
             return c + y[0, 0, 0, 0].astype(jnp.int32), None
 
         tot, _ = jax.lax.scan(body, jnp.int32(0), jnp.arange(iters))
         return tot
 
     def t(iters):
-        int(run(x, wp, iters))
+        go = (lambda n: int(run_chain(x, n))) if chain else (
+            lambda n: int(run(x, wp, n)))
+        go(iters)
         best = float("inf")
         for _ in range(3):
             t0 = time.perf_counter()
-            int(run(x, wp, iters))
+            go(iters)
             best = min(best, time.perf_counter() - t0)
         return best
 
     per_iter = (t(LONG) - t(SHORT)) / (LONG - SHORT)
     flops = 2 * BATCH * H * W * 9 * cin * cout
+    tags = ("pt" if per_tap else "") + ("F" if fresh else "") + (
+        "X" if xla else "") + ("C" if chain else "")
     print(
         f"{name:5s} {H:3d}x{W:3d} {cin:3d}->{cout:3d} by={by} th={th}"
-        f"{' pt' if per_tap else '   '}: "
+        f" {tags:3s}: "
         f"{per_iter*1e3:7.2f} ms  {flops/per_iter/1e12:6.1f} TFLOPs",
         flush=True,
     )
@@ -94,12 +130,18 @@ if __name__ == "__main__":
     for a in args:
         name, _, ov = a.partition(":")
         H, W, cin, cout, by, th = STAGES[name]
-        per_tap = False
+        per_tap = fresh = xla = chain = False
         for o in ov.split(","):
             if o.startswith("th="):
                 th = int(o[3:])
             elif o == "pt":
                 per_tap = True
+            elif o == "fresh":
+                fresh = True
+            elif o == "chain":
+                chain = True
+            elif o == "xla":
+                xla = True
             elif o.startswith("by="):
                 by = int(o[3:])
-        probe(name, H, W, cin, cout, by, th, per_tap)
+        probe(name, H, W, cin, cout, by, th, per_tap, fresh, xla, chain)

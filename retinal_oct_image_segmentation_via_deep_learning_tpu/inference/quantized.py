@@ -189,13 +189,14 @@ def quantize_unet(layers, taps, pallas: bool = True):
             "b": lw["b"],
         }
         cin, cout = w.shape[2], w.shape[3]
-        # Pallas wins only when the contraction is MXU-deep (cin >= 128):
-        # measured 232-386 TFLOPs there vs XLA int8's ~bf16 rate; at
-        # cin < 128 every in-kernel patch-assembly variant measured slower
-        # than XLA (11-107 TFLOPs) -- those stages stay on lax.conv.
-        if pallas and w.shape[:2] == (3, 3) and cin >= 128:
-            by = max(1, min(4, 128 // cout))
-            q[name]["w_packed"] = pack_weights(w_q, by)
+        # Pallas wins only when the contraction is MXU-deep (cin >= 128)
+        # AND the output fills the lanes natively (cout >= 128, by == 1):
+        # the by>1 5-D lane-packed output forces XLA layout copies around
+        # every call, and the by>1 in-kernel lane-concats of sub-128 pieces
+        # are slow (round-2 traces, docs/PERF.md). cin/cout < 128 stages
+        # stay on lax.conv.
+        if pallas and w.shape[:2] == (3, 3) and cin >= 128 and cout >= 128:
+            q[name]["w_packed"] = pack_weights(w_q, 1)
     scales = {}
     for key, absmax in taps.items():
         scales[key] = np.float32(max(absmax, 1e-12) / 127.0)
@@ -218,9 +219,12 @@ def _qconv(xq, s_in, layer, s_out, relu=True, transpose=False):
     packed weights route through the Pallas int8 MXU kernel; transpose convs,
     the 1x1 head, and the 1-channel stem stay on XLA.
     """
+    # Default XLA: the Pallas kernel wins per-stage in isolation (see
+    # docs/PERF.md) but the e2e integration measured 648 vs 1567 scans/s
+    # (hoisted-glue artifact in the standalone probe — under diagnosis).
     use_pallas = (
         jax.default_backend() == "tpu"
-        and os.environ.get("OCTSEG_INT8_BACKEND", "pallas") != "xla"
+        and os.environ.get("OCTSEG_INT8_BACKEND", "xla") == "pallas"
     )
     if use_pallas and not transpose and s_out is not None and "w_packed" in layer:
         from ..ops.pallas_conv_int8 import conv3x3_int8

@@ -72,8 +72,18 @@ def _make_kernel(th, by, W, cin, cout, relu, out_int8, force_per_tap=False):
     ntaps = (by + 2) * 3
 
     def kernel(top_ref, body_ref, bot_ref, w_ref, scale_ref, bias_ref, o_ref):
+        # Halo rows are single-row blocks of x itself (index-mapped to the
+        # neighbouring strip's edge row, clamped at the image border); the
+        # border rows are zero-masked here so the result is 'same' zero
+        # padding. Round-2 e2e traces: materializing separate top/bot halo
+        # arrays in XLA cost 1-2 ms per conv (unhoistable gather+pad
+        # fusions); block-indexed reads cost nothing.
+        s = pl.program_id(1)
+        ns = pl.num_programs(1)
+        top = jnp.where(s == 0, jnp.int8(0), top_ref[0, 0])
+        bot = jnp.where(s == ns - 1, jnp.int8(0), bot_ref[0, 0])
         tile = jnp.concatenate(
-            [top_ref[0, 0][None], body_ref[0], bot_ref[0, 0][None]], axis=0
+            [top[None], body_ref[0], bot[None]], axis=0
         )  # (th+2, W, C)
         # (by-1) trailing dummy rows let every tap slice th rows for the
         # strided reshape below; the [:, 0] stride never selects them.
@@ -123,13 +133,19 @@ def _make_kernel(th, by, W, cin, cout, relu, out_int8, force_per_tap=False):
             y = jnp.maximum(y, 0.0)
         if out_int8:
             y = jnp.clip(jnp.round(y), -127.0, 127.0).astype(jnp.int8)
-        # Unpack the (o, co) lane packing into the output's explicit sub-row
-        # dim via per-o lane slices (a lanes->sublanes reshape/transpose is
-        # unsupported by Mosaic; the block's (g, o, x) row order reshapes to
-        # image rows for free outside).
-        y = y.reshape(nb, W, by * cout)
-        for o in range(by):
-            o_ref[0, :, o] = y[:, :, o * cout : (o + 1) * cout]
+        if by == 1:
+            # Natural (th, W, cout) rows — store straight into the 4-D output
+            # block. (Round-2 profiling: the 5-D out_shape forced XLA to
+            # insert a ~0.8 ms/call layout copy after every kernel.)
+            o_ref[0] = y.reshape(th, W, cout)
+        else:
+            # Unpack the (o, co) lane packing into the output's explicit
+            # sub-row dim via per-o lane slices (a lanes->sublanes
+            # reshape/transpose is unsupported by Mosaic; the block's
+            # (g, o, x) row order reshapes to image rows for free outside).
+            y = y.reshape(nb, W, by * cout)
+            for o in range(by):
+                o_ref[0, :, o] = y[:, :, o * cout : (o + 1) * cout]
 
     return kernel
 
@@ -148,47 +164,55 @@ def conv3x3_int8(x, w_packed, scale, bias, *, by=1, relu=True, out_int8=True,
     assert w_packed.shape[0] == (by + 2) * 3 * cin, (w_packed.shape, by, cin)
     S = H // th
 
-    zrow = jnp.zeros((N, 1, W, cin), x.dtype)
-    # Halo rows: strip s sees row th-1 of strip s-1 above and row 0 of strip
-    # s+1 below; zeros at the image border ('same' zero padding). Strided row
-    # slices of the 4-D input — x itself is NOT reshaped (a 5-D reshape made
-    # XLA assign a non-default layout and copy the whole tensor before every
-    # call; the strip indexing lives in the BlockSpec index_map instead).
-    top = jnp.concatenate([zrow, x[:, th - 1 :: th][:, :-1]], axis=1)
-    bot = jnp.concatenate([x[:, th::th], zrow], axis=1)  # (N,S,W,C)
-
     # scale/bias tiled to the (o, co) lane order of the packed output.
     scale_p = jnp.tile(scale, by)[None]  # (1, by*cout)
     bias_p = jnp.tile(bias, by)[None]
 
     out_dtype = jnp.int8 if out_int8 else jnp.float32
     kern = _make_kernel(th, by, W, cin, cout, relu, out_int8, force_per_tap)
-    halo_spec = pl.BlockSpec(
-        (1, 1, W, cin), lambda n, s: (n, s, 0, 0), memory_space=pltpu.VMEM
+    # Single-row halo blocks read straight out of x: block size 1 on the row
+    # dim makes the block index a row index, so the index map can address the
+    # neighbouring strip's edge row (clamped at borders; kernel zero-masks).
+    top_spec = pl.BlockSpec(
+        (1, 1, W, cin),
+        lambda n, s: (n, jnp.maximum(s * th - 1, 0), 0, 0),
+        memory_space=pltpu.VMEM,
     )
+    bot_spec = pl.BlockSpec(
+        (1, 1, W, cin),
+        lambda n, s: (n, jnp.minimum((s + 1) * th, H - 1), 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    if by == 1:
+        out_specs = pl.BlockSpec(
+            (1, th, W, cout), lambda n, s: (n, s, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+        out_shape = jax.ShapeDtypeStruct((N, H, W, cout), out_dtype)
+    else:
+        out_specs = pl.BlockSpec(
+            (1, th // by, by, W, cout), lambda n, s: (n, s, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+        out_shape = jax.ShapeDtypeStruct((N, H // by, by, W, cout), out_dtype)
     out = pl.pallas_call(
         kern,
         grid=(N, S),
         in_specs=[
-            halo_spec,
+            top_spec,
             pl.BlockSpec(
                 (1, th, W, cin), lambda n, s: (n, s, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
-            halo_spec,
+            bot_spec,
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec(
-            (1, th // by, by, W, cout), lambda n, s: (n, s, 0, 0, 0),
-            memory_space=pltpu.VMEM,
-        ),
-        out_shape=jax.ShapeDtypeStruct(
-            (N, H // by, by, W, cout), out_dtype
-        ),
+        out_specs=out_specs,
+        out_shape=out_shape,
         interpret=interpret,
-    )(top, x, bot, w_packed, scale_p, bias_p)
+    )(x, x, x, w_packed, scale_p, bias_p)
     return out.reshape(N, H, W, cout)
 
 
