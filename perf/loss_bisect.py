@@ -120,6 +120,12 @@ def measure(loss_fn, name):
         f"{per_step/BATCH*1e3:5.2f} ms/img  {BATCH/per_step:6.0f} scans/s",
         flush=True,
     )
+    if os.environ.get("OCTSEG_TRACE"):
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        from trace_tools import capture, report
+
+        s = jax.tree.map(lambda a: a + 0, state)
+        report(capture(lambda: float(run(s, 4)), f"/tmp/octseg_trace_{name}"))
 
 
 if __name__ == "__main__":

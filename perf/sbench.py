@@ -1,0 +1,106 @@
+"""Serving-path A/B: all-int8 XLA vs mixed-precision (bf16 shallow +
+contiguous Pallas int8 deep region).
+
+Scan-difference methodology (see abench.py). Usage:
+    python perf/sbench.py [variant ...]
+variants: int8 mixed-bf16-pallas mixed-bf16-xla mixed-int8-pallas
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+from functools import partial
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+BATCH = 128
+SIZE = 512
+SHORT, LONG = 2, 22
+
+VARIANTS = ("int8", "mixed-bf16-pallas", "mixed-bf16-xla", "mixed-int8-pallas")
+
+
+def build(variant):
+    from retinal_oct_image_segmentation_via_deep_learning_tpu.inference.quantized import (
+        calibrate_unet,
+        fold_unet_bn,
+        quantize_unet,
+        quantize_unet_mixed,
+        unet_int8_forward,
+        unet_mixed_forward,
+    )
+    from retinal_oct_image_segmentation_via_deep_learning_tpu.models.unet import UNet
+
+    model = UNet(out_channels=10, init_features=32, dtype=jnp.bfloat16)
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, SIZE, SIZE, 1), jnp.bfloat16)
+    )
+    layers = fold_unet_bn(variables)
+    calib = np.random.default_rng(0).standard_normal(
+        (2, SIZE, SIZE, 1)
+    ).astype(np.float32)
+    taps = calibrate_unet(layers, [calib])
+    if variant == "int8":
+        qp = quantize_unet(layers, taps)
+        fwd = unet_int8_forward
+    else:
+        qp = quantize_unet_mixed(layers, taps)
+        _, shallow, deep = variant.split("-")
+        fwd = partial(unet_mixed_forward, shallow=shallow, deep=deep)
+    qp = jax.tree.map(jnp.asarray, qp)
+
+    @partial(jax.jit, static_argnums=2)
+    def run(qp, key, iters: int):
+        def body(carry, k):
+            x = jax.random.bits(k, (BATCH, SIZE, SIZE, 1), jnp.uint16)
+            x = (x.astype(jnp.float32) / 65536.0) - 0.5
+            lab = jnp.argmax(fwd(qp, x), axis=-1)
+            return carry + jnp.sum(lab, dtype=jnp.int32), None
+
+        total, _ = jax.lax.scan(body, jnp.int32(0), jax.random.split(key, iters))
+        return total
+
+    return qp, run
+
+
+def measure(variant):
+    qp, run = build(variant)
+
+    def t(iters):
+        key = jax.random.PRNGKey(1)
+        int(run(qp, key, iters))
+        best = float("inf")
+        for i in range(3):
+            t0 = time.perf_counter()
+            int(run(qp, jax.random.fold_in(key, i), iters))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    per_batch = (t(LONG) - t(SHORT)) / (LONG - SHORT)
+    print(
+        f"{variant:20s}: {per_batch*1e3:6.1f} ms/batch  "
+        f"{BATCH/per_batch:7.0f} scans/s",
+        flush=True,
+    )
+    if os.environ.get("OCTSEG_TRACE"):
+        from trace_tools import capture, report
+
+        report(
+            capture(
+                lambda: int(run(qp, jax.random.PRNGKey(9), 4)),
+                f"/tmp/octseg_trace_{variant}",
+            ),
+            min_ms=1.0,
+        )
+
+
+if __name__ == "__main__":
+    for v in sys.argv[1:] or VARIANTS:
+        measure(v)

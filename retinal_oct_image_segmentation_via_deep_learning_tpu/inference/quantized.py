@@ -211,6 +211,158 @@ def _pick_th(H):
     return 16 if H % 16 == 0 else 8
 
 
+# ---------------------------------------------------------------------------
+# mixed-precision serving path (round 2)
+# ---------------------------------------------------------------------------
+
+# Stages whose convs sit deep enough (>=128 output channels at <=128^2
+# resolution) that the Pallas int8 kernel beats XLA's bf16-rate int8 convs.
+# blk2..blk6 form a CONTIGUOUS region of the U-Net's data flow — everything
+# between pool(blk1) and ct2's input — so XLA<->Pallas layout boundaries
+# (XLA convs pick batch-minor layouts; each crossing costs an unfused
+# full-tensor relayout pass, ~2 ms at 512^2, measured round 2) occur only at
+# the region's entry/exit where tensors are 16x smaller than full res.
+DEEP_BLOCKS = (2, 3, 4, 5, 6)
+DEEP_STAGES = tuple(
+    f"blk{i}_conv{j}" for i in DEEP_BLOCKS for j in (0, 1)
+)
+
+
+def quantize_unet_mixed(layers, taps):
+    """Params for ``unet_mixed_forward``: int8 (+Pallas-packed) deep stages,
+    bf16 copies of every layer for the shallow stages, calibrated scales."""
+    from ..ops.pallas_conv_int8 import pack_weights
+
+    q = quantize_unet(layers, taps, pallas=False)
+    for name in DEEP_STAGES:
+        q[name]["w_packed"] = pack_weights(q[name]["w_q"], 1)
+    for name, lw in layers.items():
+        q[name]["w_bf16"] = lw["w"].astype(jnp.bfloat16)
+        q[name]["b_f32"] = lw["b"].astype(np.float32)
+    return q
+
+
+def _bconv(layer, x, relu=True, transpose=False):
+    w, b = layer["w_bf16"], layer["b_f32"]
+    if transpose:
+        y = jax.lax.conv_general_dilated(
+            x, jnp.flip(w, (0, 1)), (1, 1), [(1, 1), (1, 1)],
+            lhs_dilation=(2, 2),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+    else:
+        y = jax.lax.conv_general_dilated(
+            x, w, (1, 1), _same_pad(w),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+    y = y + b.astype(y.dtype)
+    return jnp.maximum(y, 0) if relu else y
+
+
+def unet_mixed_forward(qparams, x, *, shallow="bf16", deep="pallas"):
+    """Mixed-precision U-Net serving forward.
+
+    Shallow stages (blk0/1 encoder, blk7/8 + ct2/3 decoder, head) run in
+    ``shallow`` precision ("bf16" exact-after-folding XLA convs — measured
+    faster than XLA's lane-starved int8 at 32-64 channels — or "int8" XLA).
+    Deep stages (blk2..blk6 + ct0/1) always run int8; with ``deep="pallas"``
+    the ten 3x3 convs use the int8 MXU kernel (ops/pallas_conv_int8, ~2x
+    XLA's rate at >=128 ch). Returns bf16/f32 logits.
+    """
+    s = qparams["_act_scales"]
+    use_pallas = deep == "pallas" and jax.default_backend() == "tpu"
+
+    def dconv(hq, in_key, name, out_key, relu=True):
+        layer = qparams[name]
+        s_in, s_out = s[in_key], s[out_key]
+        if use_pallas and "w_packed" in layer:
+            from ..ops.pallas_conv_int8 import conv3x3_int8
+
+            scale = s_in * layer["s_w"] / s_out
+            bias = layer["b"] / s_out
+            return conv3x3_int8(
+                hq, layer["w_packed"], scale, bias,
+                by=1, relu=relu, out_int8=True, th=_pick_th(hq.shape[1]),
+            )
+        return _qconv(hq, s_in, layer, s_out, relu=relu)
+
+    if shallow == "bf16":
+        h = x.astype(jnp.bfloat16)
+        h = _bconv(qparams["blk0_conv0"], h)
+        h = _bconv(qparams["blk0_conv1"], h)
+        enc0 = h
+        h = _pool(h)
+        h = _bconv(qparams["blk1_conv0"], h)
+        h = _bconv(qparams["blk1_conv1"], h)
+        enc1 = h
+        h = _pool(h)
+        # enter the int8 region
+        hq = jnp.clip(
+            jnp.round(h.astype(jnp.float32) / s["blk2_conv0_in"]), -127, 127
+        ).astype(jnp.int8)
+    else:
+        hq = jnp.clip(
+            jnp.round(x.astype(jnp.float32) / s["blk0_conv0_in"]), -127, 127
+        ).astype(jnp.int8)
+        shallow_enc = []
+        for i in (0, 1):
+            hq = _qconv(hq, s[f"blk{i}_conv0_in"], qparams[f"blk{i}_conv0"],
+                        s[f"blk{i}_conv1_in"])
+            nxt = f"blk{i+1}_conv0_in"
+            hq = _qconv(hq, s[f"blk{i}_conv1_in"], qparams[f"blk{i}_conv1"],
+                        s[nxt])
+            shallow_enc.append((hq, s[nxt]))
+            hq = _pool(hq)
+
+    # --- contiguous int8 deep region: blk2 -> blk3 -> blk4 -> ct0 ->
+    #     blk5 -> ct1 -> blk6 ---
+    deep_enc = []
+    for i in (2, 3):
+        hq = dconv(hq, f"blk{i}_conv0_in", f"blk{i}_conv0",
+                   f"blk{i}_conv1_in")
+        nxt = f"blk{i+1}_conv0_in"
+        hq = dconv(hq, f"blk{i}_conv1_in", f"blk{i}_conv1", nxt)
+        deep_enc.append((hq, s[nxt]))
+        hq = _pool(hq)
+    hq = dconv(hq, "blk4_conv0_in", "blk4_conv0", "blk4_conv1_in")
+    hq = dconv(hq, "blk4_conv1_in", "blk4_conv1", "ct0_in")
+    hs = s["ct0_in"]
+    for ct, blk in ((0, 5), (1, 6)):
+        cat_s = s[f"blk{blk}_cat"]
+        up = _qconv(hq, hs, qparams[f"ct{ct}"], cat_s, relu=False,
+                    transpose=True)
+        sk_q, sk_s = deep_enc[1 - ct]
+        hq = jnp.concatenate([up, _requant(sk_q, sk_s, cat_s)], axis=-1)
+        hq = dconv(hq, f"blk{blk}_cat", f"blk{blk}_conv0",
+                   f"blk{blk}_conv1_in")
+        nxt = f"ct{ct+1}_in"
+        hq = dconv(hq, f"blk{blk}_conv1_in", f"blk{blk}_conv1", nxt)
+        hs = s[nxt]
+
+    # --- shallow decoder ---
+    if shallow == "bf16":
+        h = hq.astype(jnp.bfloat16) * jnp.bfloat16(hs)
+        for ct, (blk, skip) in ((2, (7, enc1)), (3, (8, enc0))):
+            h = _bconv(qparams[f"ct{ct}"], h, relu=False, transpose=True)
+            h = jnp.concatenate([h, skip], axis=-1)
+            h = _bconv(qparams[f"blk{blk}_conv0"], h)
+            h = _bconv(qparams[f"blk{blk}_conv1"], h)
+        return _bconv(qparams["head"], h, relu=False)
+    for ct, (blk, skip) in ((2, (7, 1)), (3, (8, 0))):
+        cat_s = s[f"blk{blk}_cat"]
+        up = _qconv(hq, hs, qparams[f"ct{ct}"], cat_s, relu=False,
+                    transpose=True)
+        sk_q, sk_s = shallow_enc[skip]
+        hq = jnp.concatenate([up, _requant(sk_q, sk_s, cat_s)], axis=-1)
+        hq = _qconv(hq, cat_s, qparams[f"blk{blk}_conv0"],
+                    s[f"blk{blk}_conv1_in"])
+        nxt = "ct3_in" if ct == 2 else "head_in"
+        hq = _qconv(hq, s[f"blk{blk}_conv1_in"], qparams[f"blk{blk}_conv1"],
+                    s[nxt])
+        hs = s[nxt]
+    return _qconv(hq, s["head_in"], qparams["head"], None, relu=False)
+
+
 def _qconv(xq, s_in, layer, s_out, relu=True, transpose=False):
     """int8 conv + fused requant epilogue.
 
