@@ -29,6 +29,10 @@ from retinal_oct_image_segmentation_via_deep_learning_tpu.utils.torch_compat imp
 )
 from reference_loader import randomize_torch
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 
 # --------------------------------------------------------------------------
 # Vendored torch ResNet-18 feature extractor (the torchvision children()[:-2]

@@ -26,6 +26,8 @@ from retinal_oct_image_segmentation_via_deep_learning_tpu.training.trainer impor
     Trainer,
 )
 
+pytestmark = pytest.mark.slow
+
 
 def _fit(model_name, kwargs, num_classes, loss="dice_ce", class_weights=None,
          epochs=2, size=32):

@@ -12,6 +12,10 @@ from retinal_oct_image_segmentation_via_deep_learning_tpu.utils.torch_compat imp
 )
 from reference_loader import load_reference, randomize_torch
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 
 def test_edgeal_parity(rng):
     ref = load_reference("SOTAS/Lesions_Segment/EdgeAL_2021.py", "ref_edgeal")

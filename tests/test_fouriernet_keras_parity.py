@@ -17,6 +17,8 @@ import jax.numpy as jnp
 
 from reference_loader import load_reference
 
+pytestmark = pytest.mark.slow
+
 tf = pytest.importorskip("tensorflow")
 
 FEATURES = (4, 8, 16, 32, 64)

@@ -18,6 +18,10 @@ from retinal_oct_image_segmentation_via_deep_learning_tpu.utils.torch_compat imp
 )
 from reference_loader import load_reference, randomize_torch, stub_timm
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 
 def _reorder(units):
     """torch registration order -> flax call order."""

@@ -22,6 +22,8 @@ import jax.numpy as jnp
 from retinal_oct_image_segmentation_via_deep_learning_tpu import get_model
 from reference_loader import load_reference, randomize_torch
 
+pytestmark = pytest.mark.slow
+
 
 # ---------------------------------------------------------------------------
 # BioNet / MSNet shape tests

@@ -20,6 +20,8 @@ from retinal_oct_image_segmentation_via_deep_learning_tpu.utils.torch_compat imp
 )
 from reference_loader import load_reference, randomize_torch
 
+pytestmark = pytest.mark.slow
+
 
 def _run_parity(torch_model, flax_model, x_nchw, atol=1e-4,
                 transposed=lambda n: "upconv" in n or "uppool" in n,

@@ -36,6 +36,8 @@ from retinal_oct_image_segmentation_via_deep_learning_tpu.training.trainer impor
     Trainer,
 )
 
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def trained():

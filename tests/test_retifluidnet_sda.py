@@ -14,6 +14,10 @@ import jax.numpy as jnp
 
 from reference_loader import load_reference
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 
 def test_sda_parity(rng):
     ref = load_reference(

@@ -13,6 +13,8 @@ import jax.numpy as jnp
 
 from reference_loader import REF
 
+pytestmark = pytest.mark.slow
+
 
 # ---------------------------------------------------------------------------
 # LayerEngine: true parity vs the reference (cuda-pinning patched to no-op)

@@ -23,6 +23,8 @@ from retinal_oct_image_segmentation_via_deep_learning_tpu.utils.torch_compat imp
     import_torch_state_named,
 )
 
+pytestmark = pytest.mark.slow
+
 
 class TScrambled(tnn.Module):
     def __init__(self):

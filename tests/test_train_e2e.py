@@ -5,6 +5,10 @@ import numpy as np
 
 import jax.numpy as jnp
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 
 def test_unet_learns_synthetic_layers():
     from retinal_oct_image_segmentation_via_deep_learning_tpu.config import (

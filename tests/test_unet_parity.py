@@ -21,6 +21,8 @@ from retinal_oct_image_segmentation_via_deep_learning_tpu.utils.torch_compat imp
 )
 from reference_loader import load_reference, randomize_torch
 
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def ref_ynet():
