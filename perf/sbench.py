@@ -24,7 +24,8 @@ BATCH = 128
 SIZE = 512
 SHORT, LONG = 2, 22
 
-VARIANTS = ("int8", "mixed-bf16-pallas", "mixed-bf16-xla", "mixed-int8-pallas")
+VARIANTS = ("int8", "mixed-bf16-pallas", "mixed-bf16-xla",
+            "mixed-int8-pallas", "packed")
 
 
 def build(variant):
@@ -50,6 +51,14 @@ def build(variant):
     if variant == "int8":
         qp = quantize_unet(layers, taps)
         fwd = unet_int8_forward
+    elif variant == "packed":
+        from retinal_oct_image_segmentation_via_deep_learning_tpu.inference.packed import (
+            quantize_unet_packed,
+            unet_packed_forward,
+        )
+
+        qp = quantize_unet_packed(layers, taps)
+        fwd = None
     else:
         qp = quantize_unet_mixed(layers, taps)
         _, shallow, deep = variant.split("-")
@@ -61,7 +70,10 @@ def build(variant):
         def body(carry, k):
             x = jax.random.bits(k, (BATCH, SIZE, SIZE, 1), jnp.uint16)
             x = (x.astype(jnp.float32) / 65536.0) - 0.5
-            lab = jnp.argmax(fwd(qp, x), axis=-1)
+            if variant == "packed":
+                lab = unet_packed_forward(qp, x, 10)
+            else:
+                lab = jnp.argmax(fwd(qp, x), axis=-1)
             return carry + jnp.sum(lab, dtype=jnp.int32), None
 
         total, _ = jax.lax.scan(body, jnp.int32(0), jax.random.split(key, iters))

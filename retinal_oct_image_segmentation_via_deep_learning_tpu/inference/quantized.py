@@ -114,6 +114,14 @@ def _convt(x, w, b):
 
 
 def _pool(x):
+    if os.environ.get("OCTSEG_POOL") == "reshape":
+        # reshape+max lowering: unlike reduce-window (which pins its operand
+        # to the default layout, forcing relayout copies + unfused bias/relu
+        # upstream of every shallow pool — round-2 trace), strided maxes are
+        # layout-agnostic fusions.
+        n, h, w, c = x.shape
+        y = x.reshape(n, h // 2, 2, w // 2, 2, c)
+        return jnp.max(jnp.max(y, axis=4), axis=2)
     return jax.lax.reduce_window(
         x, -jnp.inf if x.dtype != jnp.int8 else jnp.int8(-128),
         jax.lax.max, (1, 2, 2, 1), (1, 2, 2, 1), "VALID",
@@ -271,6 +279,16 @@ def unet_mixed_forward(qparams, x, *, shallow="bf16", deep="pallas"):
     """
     s = qparams["_act_scales"]
     use_pallas = deep == "pallas" and jax.default_backend() == "tpu"
+    # Optionally shield the XLA shallow stages from the Pallas region's
+    # default-layout constraint (round-2 traces: without a barrier, layout
+    # assignment propagates the custom call's layout up through pools into
+    # the 512^2/256^2 stages, un-fusing conv epilogues and inserting ~6 ms
+    # full-res relayout copies).
+    barrier = (
+        jax.lax.optimization_barrier
+        if os.environ.get("OCTSEG_LAYOUT_BARRIER") == "1"
+        else (lambda t: t)
+    )
 
     def dconv(hq, in_key, name, out_key, relu=True):
         layer = qparams[name]
@@ -300,6 +318,7 @@ def unet_mixed_forward(qparams, x, *, shallow="bf16", deep="pallas"):
         hq = jnp.clip(
             jnp.round(h.astype(jnp.float32) / s["blk2_conv0_in"]), -127, 127
         ).astype(jnp.int8)
+        hq = barrier(hq)
     else:
         hq = jnp.clip(
             jnp.round(x.astype(jnp.float32) / s["blk0_conv0_in"]), -127, 127
@@ -313,6 +332,7 @@ def unet_mixed_forward(qparams, x, *, shallow="bf16", deep="pallas"):
                         s[nxt])
             shallow_enc.append((hq, s[nxt]))
             hq = _pool(hq)
+        hq = barrier(hq)
 
     # --- contiguous int8 deep region: blk2 -> blk3 -> blk4 -> ct0 ->
     #     blk5 -> ct1 -> blk6 ---
@@ -340,6 +360,7 @@ def unet_mixed_forward(qparams, x, *, shallow="bf16", deep="pallas"):
         hs = s[nxt]
 
     # --- shallow decoder ---
+    hq = barrier(hq)
     if shallow == "bf16":
         h = hq.astype(jnp.bfloat16) * jnp.bfloat16(hs)
         for ct, (blk, skip) in ((2, (7, enc1)), (3, (8, enc0))):
