@@ -57,6 +57,29 @@ def _losses():
         onehot = jax.nn.one_hot(labels, nc, dtype=jnp.float32)
         return 1.0 - jnp.mean(probs * onehot) * nc
 
+    def dice_ce_nchw(logits, labels, cw=None):
+        # class dim moved off the minor axis: all loss elementwise/reduce
+        # work runs on (B, C, H, W) whose minor dims tile fully.
+        t = logits.transpose(0, 3, 1, 2).astype(jnp.float32)
+        nc = t.shape[1]
+        logp = jax.nn.log_softmax(t, axis=1)
+        probs = jnp.exp(logp)
+        onehot = (labels[:, None] ==
+                  jnp.arange(nc, dtype=labels.dtype)[None, :, None, None]
+                  ).astype(jnp.float32)
+        ll = jnp.sum(logp * onehot, axis=1)
+        ce = -jnp.mean(ll)
+        axes = (0, 2, 3)
+        inter = jnp.sum(probs * onehot, axis=axes)
+        denom = jnp.sum(probs, axis=axes) + jnp.sum(onehot, axis=axes)
+        dice = (2.0 * inter + 1e-7) / (denom + 1e-7)
+        return (1.0 - jnp.mean(dice)) + ce
+
+    def dice_ce_nchw_ck(logits, labels, cw=None):
+        import functools
+        return jax.checkpoint(functools.partial(dice_ce_nchw, cw=cw))(
+            logits, labels)
+
     return {
         "sum": sum_loss,
         "ce": softmax_cross_entropy,
@@ -65,6 +88,8 @@ def _losses():
         "dice_ce_nock": dice_ce_nock,
         "ce_bf16": ce_bf16,
         "dice_nosum": dice_nosum,
+        "dice_ce_nchw": dice_ce_nchw,
+        "dice_ce_nchw_ck": dice_ce_nchw_ck,
     }
 
 
