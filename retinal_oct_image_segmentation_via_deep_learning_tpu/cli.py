@@ -113,7 +113,35 @@ def cmd_infer(args):
         state = trainer.init_state(images[:1])
         print("note: no --checkpoint given; using random init")
 
-    preds = trainer.predict(state, images)
+    if getattr(args, "quantize", "off") != "off":
+        if cfg.model.name != "unet":
+            raise SystemExit("--quantize supports --model unet only")
+        from .inference import (
+            calibrate_unet,
+            fold_unet_bn,
+            quantize_unet,
+            quantize_unet_packed,
+            unet_int8_forward,
+            unet_packed_forward,
+        )
+
+        variables = {"params": state.params,
+                     "batch_stats": state.batch_stats}
+        layers = fold_unet_bn(variables)
+        xs = trainer._preprocess(images).astype(jnp.float32)
+        taps = calibrate_unet(layers, [xs[: min(4, xs.shape[0])]])
+        if args.quantize == "packed":
+            qp = jax.tree.map(
+                jnp.asarray, quantize_unet_packed(layers, taps)
+            )
+            preds = unet_packed_forward(
+                qp, xs, cfg.model.num_classes
+            ).astype(jnp.int32)
+        else:
+            qp = jax.tree.map(jnp.asarray, quantize_unet(layers, taps))
+            preds = jnp.argmax(unet_int8_forward(qp, xs), axis=-1)
+    else:
+        preds = trainer.predict(state, images)
     os.makedirs(args.out_dir, exist_ok=True)
     import numpy as np_
 
@@ -258,6 +286,11 @@ def main(argv=None):
     i.add_argument("--checkpoint", default=None)
     i.add_argument("--out-dir", default="./inference_out")
     i.add_argument("--export-probs", action="store_true")
+    i.add_argument(
+        "--quantize", choices=("off", "int8", "packed"), default="off",
+        help="int8 PTQ serving paths (unet): XLA int8 or the row-packed "
+             "Pallas graph (TPU; interpret-mode elsewhere)",
+    )
     i.set_defaults(fn=cmd_infer)
 
     args = p.parse_args(argv)

@@ -1,6 +1,12 @@
+from .packed import (  # noqa: F401
+    quantize_unet_packed,
+    unet_packed_forward,
+)
 from .quantized import (  # noqa: F401
     calibrate_unet,
     fold_unet_bn,
     quantize_unet,
+    quantize_unet_mixed,
     unet_int8_forward,
+    unet_mixed_forward,
 )
