@@ -95,7 +95,7 @@ def quantize_unet_packed(layers, taps, init_features: int = 32):
     q["blk0_conv0"]["w_stem"] = pack_stem_weights(
         q["blk0_conv0"]["w_q"], STEM_BY
     )
-    q["head"]["w_head"] = pack_head_weights(q["head"]["w_q"], BY, ncp=32)
+    q["head"]["w_head"] = pack_head_weights(q["head"]["w_q"], BY)
     return q
 
 

@@ -306,52 +306,55 @@ def stem_conv3x3_int8_packed(xp, w_packed, scale, bias, *, BY=32, by_out=4,
 
 
 def _head_kernel(tg, by, W, cin, nc, ncp):
+    # Mosaic note: sub-128 lane slices of wide arrays (z[:, a:a+nc]) crash
+    # the vector-layout pass at serving shapes ("limits <= dim" check in
+    # vector_extract_strided_slice). This kernel therefore does one full
+    # (128, ncp)-wide dot PER output row-group and reduces over the ENTIRE
+    # lane dim (natively supported), writing each group's labels to a major
+    # dim of the output block — no narrow lane slicing anywhere.
     def kernel(body_ref, w_ref, scale_ref, bias_ref, o_ref):
         X = body_ref[0].reshape(tg * W, by * cin)
-        z = jax.lax.dot_general(
-            X, w_ref[...], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.int32,
-        ).astype(jnp.float32) * scale_ref[0] + bias_ref[0]  # (tg*W, by*ncp)
         iota = jax.lax.broadcasted_iota(jnp.int32, (tg * W, ncp), 1)
-        labs = []
         for o in range(by):
-            zo = z[:, o * ncp : o * ncp + nc]
-            m = jnp.max(zo, axis=-1, keepdims=True)
-            idx = jnp.min(
-                jnp.where(zo >= m, iota[:, :nc], nc), axis=-1, keepdims=True
-            )
-            labs.append(idx)
-        y = jnp.concatenate(labs, axis=-1).astype(jnp.int8)  # (tg*W, by)
-        o_ref[0] = y.reshape(tg, W, by)
+            z = jax.lax.dot_general(
+                X, w_ref[o], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            ).astype(jnp.float32) * scale_ref[0] + bias_ref[0]  # (tgW, ncp)
+            m = jnp.max(z, axis=-1, keepdims=True)
+            idx = jnp.min(jnp.where(z >= m, iota, ncp), axis=-1)
+            o_ref[0, o] = idx.astype(jnp.int8).reshape(tg, W)
 
     return kernel
 
 
-def pack_head_weights(w, by: int, ncp: int = 32):
-    """(1, 1, cin, nc) head -> block-diag ((by*cin), by*ncp) int8 matrix."""
+def pack_head_weights(w, by: int, ncp: int = 128):
+    """(1, 1, cin, nc) head -> (by, by*cin, ncp) int8: per-row-group dot
+    matrices (rows outside group o zeroed; classes in lanes 0..nc-1)."""
     _, _, cin, nc = w.shape
     assert ncp >= nc
     w = np.asarray(w)
-    packed = np.zeros((by, cin, by, ncp), w.dtype)
+    packed = np.zeros((by, by * cin, ncp), w.dtype)
     for o in range(by):
-        packed[o, :, o, :nc] = w[0, 0]
-    return packed.reshape(by * cin, by * ncp)
+        packed[o, o * cin : (o + 1) * cin, :nc] = w[0, 0]
+    return packed
 
 
 @partial(jax.jit, static_argnames=("by", "nc", "tg", "interpret"))
-def head_argmax_packed(p, w_packed, scale, bias, *, by, nc, tg=4,
+def head_argmax_packed(p, w_packed, scale, bias, *, by, nc, tg=8,
                        interpret=False):
     """p: packed (N, G, W, by*cin); w_packed: pack_head_weights (int8);
     scale: (nc,) fp32 = s_in*s_w per class; bias: (nc,) fp32 logit bias.
     Returns (N, H, W) int8 argmax labels (via packed (N,G,W,by))."""
     N, G, W, L = p.shape
-    ncp = w_packed.shape[1] // by
+    ncp = w_packed.shape[2]
     cin = L // by
     tg = min(tg, G)
     assert G % tg == 0
-    pad = np.zeros(ncp - scale.shape[0], np.float32)
-    scale_p = jnp.tile(jnp.concatenate([jnp.asarray(scale), pad]), by)[None]
-    bias_p = jnp.tile(jnp.concatenate([jnp.asarray(bias), pad]), by)[None]
+    # invalid class lanes get -inf via the bias so the argmax ignores them
+    pad_s = np.zeros(ncp - scale.shape[0], np.float32)
+    pad_b = np.full(ncp - bias.shape[0], -3e38, np.float32)
+    scale_p = jnp.concatenate([jnp.asarray(scale), pad_s])[None]
+    bias_p = jnp.concatenate([jnp.asarray(bias), pad_b])[None]
     out = pl.pallas_call(
         _head_kernel(tg, by, W, cin, nc, ncp),
         grid=(N, G // tg),
@@ -362,10 +365,11 @@ def head_argmax_packed(p, w_packed, scale, bias, *, by, nc, tg=4,
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, tg, W, by), lambda n, s: (n, s, 0, 0),
+        out_specs=pl.BlockSpec((1, by, tg, W),
+                               lambda n, s: (n, 0, s, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((N, G, W, by), jnp.int8),
+        out_shape=jax.ShapeDtypeStruct((N, by, G, W), jnp.int8),
         interpret=interpret,
     )(p, w_packed, scale_p, bias_p)
-    # unpack (N, G, W, by) -> (N, H, W): tiny (1 byte/pixel)
-    return out.transpose(0, 1, 3, 2).reshape(N, G * by, W)
+    # (N, by, G, W) -> (N, H, W): tiny (1 byte/pixel) relabeling pass
+    return out.transpose(0, 2, 1, 3).reshape(N, G * by, W)
