@@ -31,7 +31,6 @@ from ..ops.pallas_conv_int8 import conv3x3_int8, pack_weights
 from ..ops.pallas_conv_packed import (
     conv3x3_int8_packed,
     head_argmax_packed,
-    maxpool2x2_packed,
     pack_head_weights,
     pack_rows,
     pack_stem_weights,
@@ -122,20 +121,21 @@ def unet_packed_forward(qparams, x, num_classes: int):
         interpret=interp,
     )  # (N, H/BY, W, BY*32)
 
-    def pconv(inputs, name, in_key, out_key, cins):
+    def pconv(inputs, name, in_key, out_key, cins, pool=False):
         scale, bias = eff_scale(name, in_key, out_key)
+        # single fused-dx dot only where the per-dx contraction would be
+        # K=192 (1.5 MXU passes); K>=384 stages are already pass-aligned.
         return conv3x3_int8_packed(
             tuple(inputs), qparams[name]["w_packed_by"], scale, bias,
-            by=BY, cins=cins, interpret=interp,
+            by=BY, cins=cins, fuse_dx=sum(cins) * (BY + 2) % 128 != 0,
+            pool=pool, interpret=interp,
         )
 
-    h = pconv([h], "blk0_conv1", "blk0_conv1_in", "blk1_conv0_in", (32,))
-    enc0 = h
-    h = maxpool2x2_packed(h, BY)
+    enc0, h = pconv([h], "blk0_conv1", "blk0_conv1_in", "blk1_conv0_in",
+                    (32,), pool=True)
     h = pconv([h], "blk1_conv0", "blk1_conv0_in", "blk1_conv1_in", (32,))
-    h = pconv([h], "blk1_conv1", "blk1_conv1_in", "blk2_conv0_in", (64,))
-    enc1 = h
-    h = maxpool2x2_packed(h, BY)
+    enc1, h = pconv([h], "blk1_conv1", "blk1_conv1_in", "blk2_conv0_in",
+                    (64,), pool=True)
 
     # --- deep region (unpacked, by=1 kernels + XLA transpose convs) ---
     hq = unpack_rows(h, BY)  # (N, H/4, W/4, 64) int8 at s[blk2_conv0_in]

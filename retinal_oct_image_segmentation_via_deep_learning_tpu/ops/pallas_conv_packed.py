@@ -92,13 +92,14 @@ def maxpool2x2_packed(p, by: int):
 # ---------------------------------------------------------------------------
 
 
-def _packed_kernel(tg, by, W, cins, cout, relu, out_int8):
+def _packed_kernel(tg, by, W, cins, cout, relu, out_int8, fuse_dx, pool):
     """cins: tuple of per-input channel counts (len 1 or 2, concat folded)."""
 
     def kernel(*refs):
         n_in = len(cins)
-        # refs: [top_i, body_i, bot_i] * n_in, w, scale, bias, out
-        w_ref, scale_ref, bias_ref, o_ref = refs[3 * n_in:]
+        # refs: [top_i, body_i, bot_i] * n_in, w, scale, bias, out[, pooled]
+        w_ref, scale_ref, bias_ref = refs[3 * n_in : 3 * n_in + 3]
+        o_ref = refs[3 * n_in + 3]
         s = pl.program_id(1)
         ns = pl.num_programs(1)
 
@@ -136,36 +137,70 @@ def _packed_kernel(tg, by, W, cins, cout, relu, out_int8):
         kdx = (by + 2) * cin_tot
         X = jnp.concatenate(groups, axis=-1)  # (tg, W, (by+2)*cin_tot)
         Xp = jnp.pad(X, ((0, 0), (1, 1), (0, 0)))
-        acc = None
-        for dx in range(3):
-            patch = Xp[:, dx : dx + W, :].reshape(tg * W, kdx)
-            part = jax.lax.dot_general(
-                patch, w_ref[dx * kdx : (dx + 1) * kdx, :],
-                (((1,), (0,)), ((), ())),
+        if fuse_dx:
+            # one K = 3*kdx dot: at cin=32/by=4 the per-dx K=192 costs 1.5
+            # MXU passes (75% K-efficiency); K=576 -> 5 passes (90%).
+            patch = jnp.concatenate(
+                [Xp[:, dx : dx + W, :] for dx in range(3)], axis=-1
+            ).reshape(tg * W, 3 * kdx)
+            acc = jax.lax.dot_general(
+                patch, w_ref[...], (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.int32,
             )
-            acc = part if acc is None else acc + part
+        else:
+            acc = None
+            for dx in range(3):
+                patch = Xp[:, dx : dx + W, :].reshape(tg * W, kdx)
+                part = jax.lax.dot_general(
+                    patch, w_ref[dx * kdx : (dx + 1) * kdx, :],
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32,
+                )
+                acc = part if acc is None else acc + part
 
         y = acc.astype(jnp.float32) * scale_ref[0] + bias_ref[0]
         if relu:
             y = jnp.maximum(y, 0.0)
         if out_int8:
             y = jnp.clip(jnp.round(y), -127.0, 127.0).astype(jnp.int8)
-        o_ref[0] = y.reshape(tg, W, by * cout)
+        y = y.reshape(tg, W, by * cout)
+        o_ref[0] = y
+        if pool:
+            # fused 2x2 max-pool epilogue -> second (pooled, still packed)
+            # output. Row pairs are lane-group maxes; w pairs a reshape-max;
+            # group pairs concat back into lanes via even/odd group rows.
+            p_ref = refs[3 * n_in + 4]
+            c = cout
+            rp = jnp.concatenate(
+                [
+                    jnp.maximum(y[..., 2 * i * c : (2 * i + 1) * c],
+                                y[..., (2 * i + 1) * c : (2 * i + 2) * c])
+                    for i in range(by // 2)
+                ],
+                axis=-1,
+            )  # (tg, W, by//2 * c)
+            wp = jnp.max(
+                rp.reshape(tg, W // 2, 2, (by // 2) * c), axis=2
+            )  # (tg, W//2, by//2 * c)
+            ev = wp.reshape(tg // 2, 2, W // 2, (by // 2) * c)
+            p_ref[0] = jnp.concatenate([ev[:, 0], ev[:, 1]], axis=-1)
 
     return kernel
 
 
 @partial(jax.jit, static_argnames=("by", "cins", "relu", "out_int8", "tg",
-                                   "interpret"))
+                                   "fuse_dx", "pool", "interpret"))
 def conv3x3_int8_packed(inputs, w_packed, scale, bias, *, by, cins,
-                        relu=True, out_int8=True, tg=4, interpret=False):
+                        relu=True, out_int8=True, tg=4, fuse_dx=False,
+                        pool=False, interpret=False):
     """Row-packed int8 3x3 conv (+ optional folded skip-concat).
 
     inputs: tuple of packed int8 tensors (N, G, W, by*cin_k) — two entries
     fold ``concat([a, b], channel)`` into the conv. w_packed:
     ``pack_weights(w, by)`` of the (3, 3, sum(cins), cout) kernel. scale/bias:
-    (cout,) fp32 requant params. Returns packed (N, G, W, by*cout).
+    (cout,) fp32 requant params. Returns packed (N, G, W, by*cout); with
+    ``pool=True`` returns (full, pooled (N, G//2, W//2, by*cout)) — the 2x2
+    max-pool fused into the epilogue (saves the XLA pool's relayout passes).
     """
     if not isinstance(inputs, (tuple, list)):
         inputs = (inputs,)
@@ -176,6 +211,8 @@ def conv3x3_int8_packed(inputs, w_packed, scale, bias, *, by, cins,
     assert w_packed.shape[0] == (by + 2) * 3 * cin_tot
     tg = min(tg, G)
     assert G % tg == 0, (G, tg)
+    if pool:
+        assert by % 2 == 0 and tg % 2 == 0 and out_int8
     S = G // tg
 
     scale_p = jnp.tile(scale, by)[None]
@@ -200,14 +237,29 @@ def conv3x3_int8_packed(inputs, w_packed, scale, bias, *, by, cins,
         operands += [inputs[k]] * 3
     in_specs += [pl.BlockSpec(memory_space=pltpu.VMEM)] * 3
 
+    out_specs = pl.BlockSpec((1, tg, W, by * cout),
+                             lambda n, s: (n, s, 0, 0),
+                             memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((N, G, W, by * cout), out_dtype)
+    if pool:
+        out_specs = [
+            out_specs,
+            pl.BlockSpec((1, tg // 2, W // 2, by * cout),
+                         lambda n, s: (n, s, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        out_shape = [
+            out_shape,
+            jax.ShapeDtypeStruct((N, G // 2, W // 2, by * cout), jnp.int8),
+        ]
+
     out = pl.pallas_call(
-        _packed_kernel(tg, by, W, tuple(cins), cout, relu, out_int8),
+        _packed_kernel(tg, by, W, tuple(cins), cout, relu, out_int8,
+                       fuse_dx, pool),
         grid=(N, S),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, tg, W, by * cout),
-                               lambda n, s: (n, s, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((N, G, W, by * cout), out_dtype),
+        out_specs=out_specs,
+        out_shape=out_shape,
         interpret=interpret,
     )(*operands, w_packed, scale_p, bias_p)
     return out
@@ -306,36 +358,40 @@ def stem_conv3x3_int8_packed(xp, w_packed, scale, bias, *, BY=32, by_out=4,
 
 
 def _head_kernel(tg, by, W, cin, nc, ncp):
-    # Mosaic note: sub-128 lane slices of wide arrays (z[:, a:a+nc]) crash
-    # the vector-layout pass at serving shapes ("limits <= dim" check in
-    # vector_extract_strided_slice). This kernel therefore does one full
-    # (128, ncp)-wide dot PER output row-group and reduces over the ENTIRE
-    # lane dim (natively supported), writing each group's labels to a major
-    # dim of the output block — no narrow lane slicing anywhere.
+    # Layout-driven design (round-2 traces). Two Mosaic pitfalls shape it:
+    # (1) sub-128 lane slices of wide arrays crash the vector-layout pass,
+    # (2) a lane-dim argmax leaves per-row scalars in sublanes, and moving
+    # them to the lane-major output costs a catastrophic relayout (169
+    # ms/batch measured). So each row-group's logits are computed
+    # TRANSPOSED — dot_general contracts both operands' dim 1, the MXU's
+    # native transposed-RHS mode — giving z (ncp classes in sublanes,
+    # pixels in lanes); the argmax reduces over SUBLANES and its (pixels,)
+    # result is already lane-major for the (by, pixels) output block.
     def kernel(body_ref, w_ref, scale_ref, bias_ref, o_ref):
         X = body_ref[0].reshape(tg * W, by * cin)
-        iota = jax.lax.broadcasted_iota(jnp.int32, (tg * W, ncp), 1)
+        iota = jax.lax.broadcasted_iota(jnp.int32, (ncp, tg * W), 0)
         for o in range(by):
             z = jax.lax.dot_general(
-                X, w_ref[o], (((1,), (0,)), ((), ())),
+                w_ref[o], X, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.int32,
-            ).astype(jnp.float32) * scale_ref[0] + bias_ref[0]  # (tgW, ncp)
-            m = jnp.max(z, axis=-1, keepdims=True)
-            idx = jnp.min(jnp.where(z >= m, iota, ncp), axis=-1)
-            o_ref[0, o] = idx.astype(jnp.int8).reshape(tg, W)
+            ).astype(jnp.float32) * scale_ref[...] + bias_ref[...]
+            m = jnp.max(z, axis=0, keepdims=True)  # (1, tgW) over sublanes
+            idx = jnp.min(jnp.where(z >= m, iota, ncp), axis=0)
+            o_ref[0, o] = idx.astype(jnp.int8)
 
     return kernel
 
 
 def pack_head_weights(w, by: int, ncp: int = 128):
-    """(1, 1, cin, nc) head -> (by, by*cin, ncp) int8: per-row-group dot
-    matrices (rows outside group o zeroed; classes in lanes 0..nc-1)."""
+    """(1, 1, cin, nc) head -> (by, ncp, by*cin) int8: per-row-group
+    transposed dot matrices (classes in sublanes 0..nc-1; input lanes
+    outside group o zeroed)."""
     _, _, cin, nc = w.shape
     assert ncp >= nc
     w = np.asarray(w)
-    packed = np.zeros((by, by * cin, ncp), w.dtype)
+    packed = np.zeros((by, ncp, by * cin), w.dtype)
     for o in range(by):
-        packed[o, o * cin : (o + 1) * cin, :nc] = w[0, 0]
+        packed[o, :nc, o * cin : (o + 1) * cin] = w[0, 0].T
     return packed
 
 
@@ -346,15 +402,15 @@ def head_argmax_packed(p, w_packed, scale, bias, *, by, nc, tg=8,
     scale: (nc,) fp32 = s_in*s_w per class; bias: (nc,) fp32 logit bias.
     Returns (N, H, W) int8 argmax labels (via packed (N,G,W,by))."""
     N, G, W, L = p.shape
-    ncp = w_packed.shape[2]
+    ncp = w_packed.shape[1]
     cin = L // by
     tg = min(tg, G)
     assert G % tg == 0
-    # invalid class lanes get -inf via the bias so the argmax ignores them
+    # invalid class sublanes get -inf via the bias so the argmax skips them
     pad_s = np.zeros(ncp - scale.shape[0], np.float32)
     pad_b = np.full(ncp - bias.shape[0], -3e38, np.float32)
-    scale_p = jnp.concatenate([jnp.asarray(scale), pad_s])[None]
-    bias_p = jnp.concatenate([jnp.asarray(bias), pad_b])[None]
+    scale_p = jnp.concatenate([jnp.asarray(scale), pad_s])[:, None]
+    bias_p = jnp.concatenate([jnp.asarray(bias), pad_b])[:, None]
     out = pl.pallas_call(
         _head_kernel(tg, by, W, cin, nc, ncp),
         grid=(N, G // tg),
@@ -365,11 +421,13 @@ def head_argmax_packed(p, w_packed, scale, bias, *, by, nc, tg=8,
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, by, tg, W),
-                               lambda n, s: (n, 0, s, 0),
+        out_specs=pl.BlockSpec((1, by, tg * W),
+                               lambda n, s: (n, 0, s),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((N, by, G, W), jnp.int8),
+        out_shape=jax.ShapeDtypeStruct((N, by, G * W), jnp.int8),
         interpret=interpret,
     )(p, w_packed, scale_p, bias_p)
-    # (N, by, G, W) -> (N, H, W): tiny (1 byte/pixel) relabeling pass
-    return out.transpose(0, 2, 1, 3).reshape(N, G * by, W)
+    # (N, by, G*W) -> (N, H, W): tiny (1 byte/pixel) relabeling pass
+    return out.reshape(N, by, G, W).transpose(0, 2, 1, 3).reshape(
+        N, G * by, W
+    )

@@ -54,7 +54,8 @@ def test_pack_roundtrip_and_pool(rng8):
     assert jnp.array_equal(unpack_rows(maxpool2x2_packed(p, BY), BY), ref)
 
 
-def test_packed_conv_exact(rng8):
+@pytest.mark.parametrize("fuse_dx", [False, True])
+def test_packed_conv_exact(rng8, fuse_dx):
     cin, cout = 8, 16
     x = _x(rng8, cin)
     w = rng8.integers(-20, 20, (3, 3, cin, cout)).astype(np.int8)
@@ -65,11 +66,32 @@ def test_packed_conv_exact(rng8):
     got = unpack_rows(
         conv3x3_int8_packed(
             (pack_rows(x, BY),), jnp.asarray(pack_weights(w, BY)),
-            scale, bias, by=BY, cins=(cin,), interpret=True,
+            scale, bias, by=BY, cins=(cin,), fuse_dx=fuse_dx,
+            interpret=True,
         ),
         BY,
     )
     assert jnp.array_equal(got, ref)
+
+
+def test_packed_conv_fused_pool_exact(rng8):
+    cin, cout = 8, 16
+    x = _x(rng8, cin)
+    w = rng8.integers(-20, 20, (3, 3, cin, cout)).astype(np.int8)
+    scale, bias = _scale_bias(rng8, cout)
+    ref = conv3x3_int8_reference(
+        x, jnp.asarray(pack_weights(w, 1)), scale, bias, by=1
+    )
+    ref_pool = jax.lax.reduce_window(
+        ref, jnp.int8(-128), jax.lax.max, (1, 2, 2, 1), (1, 2, 2, 1),
+        "VALID",
+    )
+    full, pooled = conv3x3_int8_packed(
+        (pack_rows(x, BY),), jnp.asarray(pack_weights(w, BY)),
+        scale, bias, by=BY, cins=(cin,), pool=True, interpret=True,
+    )
+    assert jnp.array_equal(unpack_rows(full, BY), ref)
+    assert jnp.array_equal(unpack_rows(pooled, BY), ref_pool)
 
 
 def test_packed_conv_folded_concat_exact(rng8):
