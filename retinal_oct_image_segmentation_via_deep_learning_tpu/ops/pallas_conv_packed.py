@@ -179,9 +179,9 @@ def _packed_kernel(tg, by, W, cins, cout, relu, out_int8, fuse_dx, pool):
                 ],
                 axis=-1,
             )  # (tg, W, by//2 * c)
-            wp = jnp.max(
-                rp.reshape(tg, W // 2, 2, (by // 2) * c), axis=2
-            )  # (tg, W//2, by//2 * c)
+            rp4 = rp.reshape(tg, W // 2, 2, (by // 2) * c)
+            # elementwise maximum (Mosaic lacks int8 axis-reductions)
+            wp = jnp.maximum(rp4[:, :, 0], rp4[:, :, 1])  # (tg, W//2, ...)
             ev = wp.reshape(tg // 2, 2, W // 2, (by // 2) * c)
             p_ref[0] = jnp.concatenate([ev[:, 0], ev[:, 1]], axis=-1)
 
