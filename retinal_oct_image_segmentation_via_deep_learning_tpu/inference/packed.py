@@ -30,6 +30,7 @@ import jax.numpy as jnp
 from ..ops.pallas_conv_int8 import conv3x3_int8, pack_weights
 from ..ops.pallas_conv_packed import (
     conv3x3_int8_packed,
+    finish_pool_w,
     head_argmax_packed,
     pack_head_weights,
     pack_rows,
@@ -131,11 +132,13 @@ def unet_packed_forward(qparams, x, num_classes: int):
             pool=pool, interpret=interp,
         )
 
-    enc0, h = pconv([h], "blk0_conv1", "blk0_conv1_in", "blk1_conv0_in",
-                    (32,), pool=True)
+    enc0, hp = pconv([h], "blk0_conv1", "blk0_conv1_in",
+                     "blk1_conv0_in", (32,), pool=True)
+    h = finish_pool_w(hp)
     h = pconv([h], "blk1_conv0", "blk1_conv0_in", "blk1_conv1_in", (32,))
-    enc1, h = pconv([h], "blk1_conv1", "blk1_conv1_in", "blk2_conv0_in",
-                    (64,), pool=True)
+    enc1, hp = pconv([h], "blk1_conv1", "blk1_conv1_in", "blk2_conv0_in",
+                     (64,), pool=True)
+    h = finish_pool_w(hp)
 
     # --- deep region (unpacked, by=1 kernels + XLA transpose convs) ---
     hq = unpack_rows(h, BY)  # (N, H/4, W/4, 64) int8 at s[blk2_conv0_in]

@@ -69,6 +69,12 @@ def unpack_rows(p, by: int):
     )
 
 
+def finish_pool_w(p):
+    """W half of the 2x2 pool on a row-pooled packed tensor (one fused
+    elementwise max of even/odd W columns)."""
+    return jnp.maximum(p[:, :, 0::2], p[:, :, 1::2])
+
+
 def maxpool2x2_packed(p, by: int):
     """2x2/2 max-pool on a row-packed tensor, packed in and out (same by).
 
@@ -166,9 +172,11 @@ def _packed_kernel(tg, by, W, cins, cout, relu, out_int8, fuse_dx, pool):
         y = y.reshape(tg, W, by * cout)
         o_ref[0] = y
         if pool:
-            # fused 2x2 max-pool epilogue -> second (pooled, still packed)
-            # output. Row pairs are lane-group maxes; w pairs a reshape-max;
-            # group pairs concat back into lanes via even/odd group rows.
+            # Row half of the 2x2 max-pool, fused: row pairs are lane-group
+            # maxes, group pairs concat back into lanes via even/odd group
+            # rows. The W half is left to one fused XLA elementwise max of
+            # strided views (``finish_pool_w``) — Mosaic supports neither
+            # int8 axis-reductions nor the (W) -> (W/2, 2) shape cast.
             p_ref = refs[3 * n_in + 4]
             c = cout
             rp = jnp.concatenate(
@@ -179,10 +187,7 @@ def _packed_kernel(tg, by, W, cins, cout, relu, out_int8, fuse_dx, pool):
                 ],
                 axis=-1,
             )  # (tg, W, by//2 * c)
-            rp4 = rp.reshape(tg, W // 2, 2, (by // 2) * c)
-            # elementwise maximum (Mosaic lacks int8 axis-reductions)
-            wp = jnp.maximum(rp4[:, :, 0], rp4[:, :, 1])  # (tg, W//2, ...)
-            ev = wp.reshape(tg // 2, 2, W // 2, (by // 2) * c)
+            ev = rp.reshape(tg // 2, 2, W, (by // 2) * c)
             p_ref[0] = jnp.concatenate([ev[:, 0], ev[:, 1]], axis=-1)
 
     return kernel
@@ -199,8 +204,9 @@ def conv3x3_int8_packed(inputs, w_packed, scale, bias, *, by, cins,
     fold ``concat([a, b], channel)`` into the conv. w_packed:
     ``pack_weights(w, by)`` of the (3, 3, sum(cins), cout) kernel. scale/bias:
     (cout,) fp32 requant params. Returns packed (N, G, W, by*cout); with
-    ``pool=True`` returns (full, pooled (N, G//2, W//2, by*cout)) — the 2x2
-    max-pool fused into the epilogue (saves the XLA pool's relayout passes).
+    ``pool=True`` returns (full, half_pooled (N, G//2, W, by*cout)):
+    the pool's row half fused into the epilogue; finish with
+    ``finish_pool_w`` (one fused XLA elementwise max).
     """
     if not isinstance(inputs, (tuple, list)):
         inputs = (inputs,)
@@ -244,13 +250,13 @@ def conv3x3_int8_packed(inputs, w_packed, scale, bias, *, by, cins,
     if pool:
         out_specs = [
             out_specs,
-            pl.BlockSpec((1, tg // 2, W // 2, by * cout),
+            pl.BlockSpec((1, tg // 2, W, by * cout),
                          lambda n, s: (n, s, 0, 0),
                          memory_space=pltpu.VMEM),
         ]
         out_shape = [
             out_shape,
-            jax.ShapeDtypeStruct((N, G // 2, W // 2, by * cout), jnp.int8),
+            jax.ShapeDtypeStruct((N, G // 2, W, by * cout), jnp.int8),
         ]
 
     out = pl.pallas_call(

@@ -86,12 +86,16 @@ def test_packed_conv_fused_pool_exact(rng8):
         ref, jnp.int8(-128), jax.lax.max, (1, 2, 2, 1), (1, 2, 2, 1),
         "VALID",
     )
-    full, pooled = conv3x3_int8_packed(
+    from retinal_oct_image_segmentation_via_deep_learning_tpu.ops.pallas_conv_packed import (
+        finish_pool_w,
+    )
+
+    full, half = conv3x3_int8_packed(
         (pack_rows(x, BY),), jnp.asarray(pack_weights(w, BY)),
         scale, bias, by=BY, cins=(cin,), pool=True, interpret=True,
     )
     assert jnp.array_equal(unpack_rows(full, BY), ref)
-    assert jnp.array_equal(unpack_rows(pooled, BY), ref_pool)
+    assert jnp.array_equal(unpack_rows(finish_pool_w(half), BY), ref_pool)
 
 
 def test_packed_conv_folded_concat_exact(rng8):
