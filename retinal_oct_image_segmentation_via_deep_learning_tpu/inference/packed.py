@@ -124,12 +124,13 @@ def unet_packed_forward(qparams, x, num_classes: int):
 
     def pconv(inputs, name, in_key, out_key, cins, pool=False):
         scale, bias = eff_scale(name, in_key, out_key)
-        # single fused-dx dot only where the per-dx contraction would be
-        # K=192 (1.5 MXU passes); K>=384 stages are already pass-aligned.
+        # fuse_dx stays off: Mosaic can't lane-concat the three dx-shifted
+        # patch slices (offset mismatch on non-concat dim); the K=192
+        # 1.5-pass cost at 32ch stands until the patches are rebuilt with
+        # offset-aligned rolls.
         return conv3x3_int8_packed(
             tuple(inputs), qparams[name]["w_packed_by"], scale, bias,
-            by=BY, cins=cins, fuse_dx=sum(cins) * (BY + 2) % 128 != 0,
-            pool=pool, interpret=interp,
+            by=BY, cins=cins, pool=pool, interpret=interp,
         )
 
     enc0, hp = pconv([h], "blk0_conv1", "blk0_conv1_in",
