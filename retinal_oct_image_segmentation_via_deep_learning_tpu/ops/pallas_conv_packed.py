@@ -164,29 +164,31 @@ def _packed_kernel(tg, by, W, cins, cout, relu, out_int8, fuse_dx, pool):
                 )
                 acc = part if acc is None else acc + part
 
-        y = acc.astype(jnp.float32) * scale_ref[0] + bias_ref[0]
+        yf = acc.astype(jnp.float32) * scale_ref[0] + bias_ref[0]
         if relu:
-            y = jnp.maximum(y, 0.0)
+            yf = jnp.maximum(yf, 0.0)
+        y = yf
         if out_int8:
-            y = jnp.clip(jnp.round(y), -127.0, 127.0).astype(jnp.int8)
-        y = y.reshape(tg, W, by * cout)
-        o_ref[0] = y
+            y = jnp.clip(jnp.round(yf), -127.0, 127.0).astype(jnp.int8)
+        o_ref[0] = y.reshape(tg, W, by * cout)
         if pool:
             # Row half of the 2x2 max-pool, fused: row pairs are lane-group
-            # maxes, group pairs concat back into lanes via even/odd group
-            # rows. The W half is left to one fused XLA elementwise max of
-            # strided views (``finish_pool_w``) — Mosaic supports neither
-            # int8 axis-reductions nor the (W) -> (W/2, 2) shape cast.
+            # maxes IN FP32 (max commutes with the monotone round/clip;
+            # Mosaic legalizes neither int8 maxsi nor int8 axis-reductions),
+            # group pairs concat back into lanes via even/odd group rows.
+            # The W half is one fused XLA strided max (``finish_pool_w``).
             p_ref = refs[3 * n_in + 4]
             c = cout
+            yr = yf.reshape(tg, W, by * cout)
             rp = jnp.concatenate(
                 [
-                    jnp.maximum(y[..., 2 * i * c : (2 * i + 1) * c],
-                                y[..., (2 * i + 1) * c : (2 * i + 2) * c])
+                    jnp.maximum(yr[..., 2 * i * c : (2 * i + 1) * c],
+                                yr[..., (2 * i + 1) * c : (2 * i + 2) * c])
                     for i in range(by // 2)
                 ],
                 axis=-1,
-            )  # (tg, W, by//2 * c)
+            )  # (tg, W, by//2 * c) fp32
+            rp = jnp.clip(jnp.round(rp), -127.0, 127.0).astype(jnp.int8)
             ev = rp.reshape(tg // 2, 2, W, (by // 2) * c)
             p_ref[0] = jnp.concatenate([ev[:, 0], ev[:, 1]], axis=-1)
 
