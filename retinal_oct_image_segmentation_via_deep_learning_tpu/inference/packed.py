@@ -99,6 +99,46 @@ def quantize_unet_packed(layers, taps, init_features: int = 32):
     return q
 
 
+def ct_dot(xq, s_in, layer, s_out, pack_by: int | None = None):
+    """2x2/2 transpose conv as a per-pixel int8 dot + one transpose pass.
+
+    The XLA lhs-dilated transpose convs measured ~45 ms/batch of glue in the
+    packed graph (dilated-input pad fusions, batch-minor relayout copies,
+    unfused requants — round-2 trace). Here: out[2r+dy, 2w+dx] = x[r,w] @
+    w[dy,dx] becomes one dot_general to (N, H, W, 2, 2, co) with the requant
+    fused elementwise, and a single transpose materializes either the
+    standard (N, 2H, 2W, co) layout or directly the row-packed layout
+    (pack_by), folding ``pack_rows`` into the same pass.
+    """
+    w_q = layer["w_q"]  # (2, 2, cin, cout)
+    kh, kw, cin, cout = w_q.shape
+    assert (kh, kw) == (2, 2)
+    N, H, W, _ = xq.shape
+    wmat = jnp.reshape(
+        jnp.transpose(w_q, (2, 0, 1, 3)), (cin, kh * kw * cout)
+    )
+    acc = jax.lax.dot_general(
+        xq.reshape(N * H * W, cin), wmat, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    ).reshape(N, H, W, 2, 2, cout)
+    scale = (s_in / s_out) * jnp.tile(layer["s_w"], 4).reshape(2, 2, cout)
+    y = acc.astype(jnp.float32) * scale + (layer["b"] / s_out)
+    yq = jnp.clip(jnp.round(y), -127.0, 127.0).astype(jnp.int8)
+    if pack_by is None:
+        # (n, r, w, dy, dx, c) -> (N, 2H, 2W, C)
+        return jnp.transpose(yq, (0, 1, 3, 2, 4, 5)).reshape(
+            N, 2 * H, 2 * W, cout
+        )
+    by = pack_by
+    assert (2 * H) % by == 0
+    # row-packed: out (n, g, w', (i, c)) with r' = by*g + i = 2r + dy,
+    # w' = 2w + dx; split r -> (g, r2) with i = 2*r2 + dy.
+    y6 = yq.reshape(N, (2 * H) // by, by // 2, W, 2, 2, cout)
+    return jnp.transpose(y6, (0, 1, 3, 5, 2, 4, 6)).reshape(
+        N, (2 * H) // by, 2 * W, by * cout
+    )
+
+
 def unet_packed_forward(qparams, x, num_classes: int):
     """x: (N, H, W, 1) fp32/bf16 -> (N, H, W) int8 argmax labels."""
     s = qparams["_act_scales"]
@@ -168,8 +208,7 @@ def unet_packed_forward(qparams, x, num_classes: int):
     hs = s["ct0_in"]
     for ct, blk in ((0, 5), (1, 6)):
         cat_s = s[f"blk{blk}_cat"]
-        up = _qconv(hq, hs, qparams[f"ct{ct}"], cat_s, relu=False,
-                    transpose=True)
+        up = ct_dot(hq, hs, qparams[f"ct{ct}"], cat_s)
         sk_q, sk_s = deep_enc[1 - ct]
         sk = jnp.clip(
             jnp.round(sk_q.astype(jnp.float32) * (sk_s / cat_s)), -127, 127
@@ -184,15 +223,12 @@ def unet_packed_forward(qparams, x, num_classes: int):
     # --- packed shallow decoder ---
     # ct2: XLA transpose conv (int8) then row-pack; skip requant is folded
     # into blk7_conv0's weights, so enc1 concats as-is.
-    up = _qconv(hq, hs, qparams["ct2"], s["blk7_cat"], relu=False,
-                transpose=True)
-    up = pack_rows(up, BY)
+    up = ct_dot(hq, hs, qparams["ct2"], s["blk7_cat"], pack_by=BY)
     h = pconv([up, enc1], "blk7_conv0", "blk7_cat", "blk7_conv1_in",
               (64, 64))
     h = pconv([h], "blk7_conv1", "blk7_conv1_in", "ct3_in", (64,))
-    up = _qconv(unpack_rows(h, BY), s["ct3_in"], qparams["ct3"],
-                s["blk8_cat"], relu=False, transpose=True)
-    up = pack_rows(up, BY)
+    up = ct_dot(unpack_rows(h, BY), s["ct3_in"], qparams["ct3"],
+                s["blk8_cat"], pack_by=BY)
     h = pconv([up, enc0], "blk8_conv0", "blk8_cat", "blk8_conv1_in",
               (32, 32))
     h = pconv([h], "blk8_conv1", "blk8_conv1_in", "head_in", (32,))
