@@ -150,6 +150,8 @@ def measure(loss_fn, name):
         from trace_tools import capture, report
 
         s = jax.tree.map(lambda a: a + 0, state)
+        float(run(s, 4))  # compile outside the trace window
+        s = jax.tree.map(lambda a: a + 0, state)
         report(capture(lambda: float(run(s, 4)), f"/tmp/octseg_trace_{name}"))
 
 
