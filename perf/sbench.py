@@ -20,7 +20,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-BATCH = 128
+BATCH = int(os.environ.get("OCTSEG_BENCH_BATCH", "128"))
 SIZE = 512
 SHORT, LONG = 2, 22
 
