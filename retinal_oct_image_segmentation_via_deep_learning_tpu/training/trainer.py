@@ -30,19 +30,30 @@ from .losses import get_loss
 from .train_state import TrainState, create_train_state
 
 
-def make_train_step(model, loss_fn: Callable, class_weights=None):
+def make_train_step(model, loss_fn: Callable, class_weights=None,
+                    remat: str | None = None):
+    """remat="full" recomputes the whole forward in the backward
+    (jax.checkpoint around model.apply) — trades ~1.3x FLOPs for dropping
+    all activation residuals, which can beat XLA's own rematerialization
+    under memory pressure (A/B via perf/loss_bisect.py)."""
+    import os as _os
+
+    remat = remat or _os.environ.get("OCTSEG_TRAIN_REMAT") or None
+
     def train_step(state: TrainState, images, labels):
         def loss_of(params):
             variables = {"params": params}
             has_stats = state.batch_stats is not None and state.batch_stats
             if has_stats:
                 variables["batch_stats"] = state.batch_stats
-            out = model.apply(
-                variables,
-                images,
-                train=True,
-                mutable=["batch_stats"] if has_stats else [],
-            )
+            mutable = ["batch_stats"] if has_stats else []
+
+            def fwd(v, x):
+                return model.apply(v, x, train=True, mutable=mutable)
+
+            if remat == "full":
+                fwd = jax.checkpoint(fwd)
+            out = fwd(variables, images)
             logits, updates = out if isinstance(out, tuple) else (out, {})
             loss = loss_fn(logits, labels, class_weights)
             return loss, updates
