@@ -49,23 +49,42 @@ def _build_cfg(args):
 
 
 def cmd_train(args):
-    from .training.data import SyntheticOCTConfig, SyntheticOCTDataset
+    from .training.data import (
+        SyntheticOCTConfig,
+        SyntheticOCTDataset,
+        make_datasets,
+    )
     from .training.trainer import Trainer
     from .utils.logging import MetricLogger
 
     cfg = _build_cfg(args)
-    dcfg = SyntheticOCTConfig(
-        height=args.image_size, width=args.image_size,
-        num_layers=max(args.num_classes - 2, 1),
+    real = make_datasets(
+        getattr(args, "data", None),
+        (args.image_size, args.image_size), cfg.data.batch_size,
     )
-    train_ds = SyntheticOCTDataset(dcfg, cfg.data.num_train, cfg.data.batch_size)
-    val_ds = SyntheticOCTDataset(
-        SyntheticOCTConfig(
+    if real is not None:
+        train_ds, val_ds, num_classes = real
+        if num_classes > cfg.model.num_classes:
+            print(f"note: dataset has {num_classes} classes; overriding "
+                  f"--num-classes {cfg.model.num_classes}")
+            from .config import flat_update
+
+            cfg = flat_update(cfg, {"model.num_classes": num_classes})
+    else:
+        dcfg = SyntheticOCTConfig(
             height=args.image_size, width=args.image_size,
-            num_layers=max(args.num_classes - 2, 1), seed=99,
-        ),
-        cfg.data.num_val, cfg.data.batch_size,
-    )
+            num_layers=max(args.num_classes - 2, 1),
+        )
+        train_ds = SyntheticOCTDataset(
+            dcfg, cfg.data.num_train, cfg.data.batch_size
+        )
+        val_ds = SyntheticOCTDataset(
+            SyntheticOCTConfig(
+                height=args.image_size, width=args.image_size,
+                num_layers=max(args.num_classes - 2, 1), seed=99,
+            ),
+            cfg.data.num_val, cfg.data.batch_size,
+        )
     trainer = Trainer(cfg)
     logger = MetricLogger(args.log_file)
     state = trainer.fit(train_ds, val_ds)
@@ -261,6 +280,11 @@ def main(argv=None):
     common.add_argument("--dtype", default="bfloat16")
 
     t = sub.add_parser("train", parents=[common])
+    t.add_argument(
+        "--data", default=None,
+        help="real dataset spec: duke:<dir> | retouch:<dir> | png:<dir> "
+             "(default: on-device synthetic)",
+    )
     t.add_argument("--epochs", type=int, default=10)
     t.add_argument("--lr", type=float, default=1e-3)
     t.add_argument("--optimizer", default="adam")

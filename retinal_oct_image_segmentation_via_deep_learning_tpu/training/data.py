@@ -15,6 +15,7 @@ at far beyond north-star throughput; the host loop only feeds PRNG keys.
 from __future__ import annotations
 
 import dataclasses
+import os
 from functools import partial
 
 import numpy as np
@@ -139,3 +140,93 @@ def numpy_folder_dataset(images: np.ndarray, labels: np.ndarray, batch_size: int
     ds.epoch = epoch
     ds.steps_per_epoch = n // batch_size
     return ds
+
+
+# ---------------------------------------------------------------------------
+# dataset spec dispatcher: one string selects synthetic or a real-data loader
+# ---------------------------------------------------------------------------
+
+
+def _crop_pad(img: np.ndarray, lab: np.ndarray, size):
+    th, tw = size
+    img, lab = img[:th, :tw], lab[:th, :tw]
+    ph, pw = th - img.shape[0], tw - img.shape[1]
+    if ph > 0 or pw > 0:
+        img = np.pad(img, ((0, ph), (0, pw)) + ((0, 0),) * (img.ndim - 2))
+        lab = np.pad(lab, ((0, ph), (0, pw)))
+    return img, lab
+
+
+def load_real_dataset(spec: str, image_size):
+    """'duke:<dir>' | 'retouch:<dir>' | 'png:<dir>' ->
+    (images (N,H,W,1) f32, labels (N,H,W) i32, num_classes).
+
+    Only labeled B-scans are kept; volumes are flattened into one B-scan
+    pool, cropped/padded top-left to ``image_size`` (the Duke convention).
+    """
+    kind, _, root = spec.partition(":")
+    if not root:
+        raise ValueError(f"dataset spec needs a path: '{spec}'")
+    imgs, labs = [], []
+    if kind == "duke":
+        from .duke import annotated_slices, load_duke_dme_volume
+
+        files = sorted(
+            f for f in os.listdir(root) if f.lower().endswith(".mat")
+        )
+        for f in files:
+            images, labels, valid = load_duke_dme_volume(
+                os.path.join(root, f)
+            )
+            for b in annotated_slices(labels, valid):
+                imgs.append(images[b])
+                labs.append(labels[b])
+    elif kind == "retouch":
+        from .retouch import iter_cases
+
+        for case in iter_cases(root):
+            if case["labels"] is None:
+                continue
+            for b in range(case["images"].shape[0]):
+                imgs.append(case["images"][b][..., None])
+                labs.append(case["labels"][b])
+    elif kind == "png":
+        from .png_volumes import iter_png_volumes
+
+        for vol in iter_png_volumes(root):
+            if vol["labels"] is None:
+                continue
+            for b in range(vol["images"].shape[0]):
+                imgs.append(vol["images"][b])
+                labs.append(vol["labels"][b])
+    else:
+        raise ValueError(f"unknown dataset kind '{kind}'")
+    if not imgs:
+        raise FileNotFoundError(f"no labeled B-scans under {root}")
+    pairs = [_crop_pad(i, l, image_size) for i, l in zip(imgs, labs)]
+    images = np.stack([p[0] for p in pairs]).astype(np.float32)
+    labels = np.stack([p[1] for p in pairs]).astype(np.int32)
+    return images, labels, int(labels.max()) + 1
+
+
+def make_datasets(spec: str, image_size, batch_size: int,
+                  num_train: int = 128, num_val: int = 16,
+                  val_fraction: float = 0.1, seed: int = 0):
+    """-> (train_ds, val_ds, num_classes | None).
+
+    spec: 'synthetic' (on-device generator; num_classes from the caller) or
+    a real-data spec for ``load_real_dataset`` — the last ``val_fraction``
+    of B-scans (volume order) becomes the validation split.
+    """
+    if spec in (None, "", "synthetic", "synthetic_duke_dme"):
+        return None  # caller builds the synthetic datasets (needs classes)
+    images, labels, num_classes = load_real_dataset(spec, image_size)
+    n = images.shape[0]
+    n_val = max(int(n * val_fraction), min(batch_size, n // 2))
+    train = numpy_folder_dataset(
+        images[: n - n_val], labels[: n - n_val], batch_size, seed=seed
+    )
+    val = numpy_folder_dataset(
+        images[n - n_val:], labels[n - n_val:], batch_size, shuffle=False
+    )
+    return train, val, num_classes
