@@ -198,7 +198,7 @@ def _packed_kernel(tg, by, W, cins, cout, relu, out_int8, fuse_dx, pool):
 @partial(jax.jit, static_argnames=("by", "cins", "relu", "out_int8", "tg",
                                    "fuse_dx", "pool", "interpret"))
 def conv3x3_int8_packed(inputs, w_packed, scale, bias, *, by, cins,
-                        relu=True, out_int8=True, tg=4, fuse_dx=False,
+                        relu=True, out_int8=True, tg=8, fuse_dx=False,
                         pool=False, interpret=False):
     """Row-packed int8 3x3 conv (+ optional folded skip-concat).
 
