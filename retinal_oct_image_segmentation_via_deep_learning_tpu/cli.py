@@ -182,16 +182,31 @@ def cmd_eval(args):
     IoU/sensitivity/specificity/precision + confusion matrix)."""
     import jax
 
-    from .training.data import SyntheticOCTConfig, SyntheticOCTDataset
+    from .training.data import (
+        SyntheticOCTConfig,
+        SyntheticOCTDataset,
+        make_datasets,
+    )
     from .training.trainer import Trainer
 
     cfg = _build_cfg(args)
-    trainer = Trainer(cfg)
-    dcfg = SyntheticOCTConfig(
-        height=args.image_size, width=args.image_size,
-        num_layers=max(args.num_classes - 2, 1), seed=99,
+    real = make_datasets(
+        getattr(args, "data", None),
+        (args.image_size, args.image_size), args.batch_size,
     )
-    ds = SyntheticOCTDataset(dcfg, args.num_val, args.batch_size)
+    if real is not None:
+        _, ds, num_classes = real  # evaluate on the validation split
+        if num_classes > cfg.model.num_classes:
+            from .config import flat_update
+
+            cfg = flat_update(cfg, {"model.num_classes": num_classes})
+    trainer = Trainer(cfg)
+    if real is None:
+        dcfg = SyntheticOCTConfig(
+            height=args.image_size, width=args.image_size,
+            num_layers=max(args.num_classes - 2, 1), seed=99,
+        )
+        ds = SyntheticOCTDataset(dcfg, args.num_val, args.batch_size)
 
     import jax.numpy as jnp
 
@@ -303,6 +318,11 @@ def main(argv=None):
     e = sub.add_parser("eval", parents=[common])
     e.add_argument("--checkpoint", default=None)
     e.add_argument("--num-val", type=int, default=16)
+    e.add_argument(
+        "--data", default=None,
+        help="real dataset spec: duke:<dir> | retouch:<dir> | png:<dir> "
+             "(evaluates the validation split)",
+    )
     e.set_defaults(fn=cmd_eval)
 
     i = sub.add_parser("infer", parents=[common])
