@@ -34,7 +34,7 @@ STAGES = {
 }
 
 
-def probe(name, H, W, cins, cout, tg, pool=False):
+def probe(name, H, W, cins, cout, tg, pool=False, fuse_dx=False):
     from retinal_oct_image_segmentation_via_deep_learning_tpu.ops.pallas_conv_int8 import (
         pack_weights,
     )
@@ -62,7 +62,7 @@ def probe(name, H, W, cins, cout, tg, pool=False):
         def body(c, i):
             sc = scale + i.astype(jnp.float32) * 1e-12
             y = conv3x3_int8_packed(ps, wp, sc, bias, by=BY, cins=cins,
-                                    tg=tg, pool=pool)
+                                    tg=tg, pool=pool, fuse_dx=fuse_dx)
             if pool:
                 y = y[0]
             return c + y[0, 0, 0, 0].astype(jnp.int32), None
@@ -83,7 +83,7 @@ def probe(name, H, W, cins, cout, tg, pool=False):
     flops = 2 * BATCH * H * W * 9 * cin_tot * cout
     print(
         f"{name:5s} {H}^2 {cin_tot:3d}->{cout:3d} tg={tg}"
-        f"{' pool' if pool else '     '}: "
+        f"{' pool' if pool else ''}{' fuse' if fuse_dx else ''}: "
         f"{per_iter*1e3:7.2f} ms  {flops/per_iter/1e12:6.1f} TFLOPs",
         flush=True,
     )
@@ -95,10 +95,12 @@ if __name__ == "__main__":
     for a in args:
         name, _, ov = a.partition(":")
         H, W, cins, cout = STAGES[name]
-        tg, pool = 4, False
+        tg, pool, fuse = 4, False, False
         for o in ov.split(","):
             if o.startswith("tg="):
                 tg = int(o[3:])
             elif o == "pool":
                 pool = True
-        probe(name, H, W, cins, cout, tg, pool)
+            elif o == "fuse":
+                fuse = True
+        probe(name, H, W, cins, cout, tg, pool, fuse)

@@ -98,7 +98,8 @@ def maxpool2x2_packed(p, by: int):
 # ---------------------------------------------------------------------------
 
 
-def _packed_kernel(tg, by, W, cins, cout, relu, out_int8, fuse_dx, pool):
+def _packed_kernel(tg, by, W, cins, cout, relu, out_int8, fuse_dx, pool,
+                   interp=False):
     """cins: tuple of per-input channel counts (len 1 or 2, concat folded)."""
 
     def kernel(*refs):
@@ -144,10 +145,22 @@ def _packed_kernel(tg, by, W, cins, cout, relu, out_int8, fuse_dx, pool):
         X = jnp.concatenate(groups, axis=-1)  # (tg, W, (by+2)*cin_tot)
         Xp = jnp.pad(X, ((0, 0), (1, 1), (0, 0)))
         if fuse_dx:
-            # one K = 3*kdx dot: at cin=32/by=4 the per-dx K=192 costs 1.5
-            # MXU passes (75% K-efficiency); K=576 -> 5 passes (90%).
+            # one K = 3*kdx dot: at cin=32/by=4 the per-dx K=192 rounds
+            # up to 2 MXU passes (75% K-efficiency, matches measurement);
+            # K=576 -> 5 passes (90%). STATUS: blocked on TPU — Mosaic
+            # refuses both the lane-concat of offset-shifted slices
+            # ("offset mismatch on non-concat dimension") and
+            # tpu.dynamic_rotate on the sublane dim of a 3-D int8 vector,
+            # so the offset-0 rebuild cannot be expressed. Kept for
+            # interpret-mode equivalence + as the round-3 lever.
+            def dx_part(dx):
+                if dx == 0 or interp:
+                    return Xp[:, dx : dx + W, :]
+                # roll must be non-negative: -dx == (W+2-dx) mod (W+2)
+                return pltpu.roll(Xp, W + 2 - dx, axis=1)[:, :W, :]
+
             patch = jnp.concatenate(
-                [Xp[:, dx : dx + W, :] for dx in range(3)], axis=-1
+                [dx_part(dx) for dx in range(3)], axis=-1
             ).reshape(tg * W, 3 * kdx)
             acc = jax.lax.dot_general(
                 patch, w_ref[...], (((1,), (0,)), ((), ())),
@@ -263,7 +276,7 @@ def conv3x3_int8_packed(inputs, w_packed, scale, bias, *, by, cins,
 
     out = pl.pallas_call(
         _packed_kernel(tg, by, W, tuple(cins), cout, relu, out_int8,
-                       fuse_dx, pool),
+                       fuse_dx, pool, interp=interpret),
         grid=(N, S),
         in_specs=in_specs,
         out_specs=out_specs,
