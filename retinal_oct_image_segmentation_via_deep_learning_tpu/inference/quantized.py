@@ -118,9 +118,12 @@ def _pool(x):
         # reshape+max lowering: unlike reduce-window (which pins its operand
         # to the default layout, forcing relayout copies + unfused bias/relu
         # upstream of every shallow pool — round-2 trace), strided maxes are
-        # layout-agnostic fusions.
+        # layout-agnostic fusions. Slice to even extents first so odd H/W
+        # agrees with the reduce-window VALID path (silent truncation).
         n, h, w, c = x.shape
-        y = x.reshape(n, h // 2, 2, w // 2, 2, c)
+        y = x[:, : h // 2 * 2, : w // 2 * 2].reshape(
+            n, h // 2, 2, w // 2, 2, c
+        )
         return jnp.max(jnp.max(y, axis=4), axis=2)
     return jax.lax.reduce_window(
         x, -jnp.inf if x.dtype != jnp.int8 else jnp.int8(-128),
@@ -388,29 +391,12 @@ def _qconv(xq, s_in, layer, s_out, relu=True, transpose=False):
     """int8 conv + fused requant epilogue.
 
     xq int8, s_in scalar; layer holds w_q (int8) + per-channel s_w + fp bias.
-    Output int8 at scale s_out (or fp32 when s_out is None). 3x3 convs with
-    packed weights route through the Pallas int8 MXU kernel; transpose convs,
-    the 1x1 head, and the 1-channel stem stay on XLA.
+    Output int8 at scale s_out (or fp32 when s_out is None). Runs on XLA
+    convs everywhere; the Pallas int8 routes live in ``unet_mixed_forward``
+    and ``inference/packed.py`` (mixing Pallas custom calls into THIS all-XLA
+    graph measured slower end-to-end — layout-assignment conflicts, see
+    docs/PERF.md round 2).
     """
-    # Default XLA: the Pallas kernel wins per-stage in isolation (see
-    # docs/PERF.md) but the e2e integration measured 648 vs 1567 scans/s
-    # (hoisted-glue artifact in the standalone probe — under diagnosis).
-    use_pallas = (
-        jax.default_backend() == "tpu"
-        and os.environ.get("OCTSEG_INT8_BACKEND", "xla") == "pallas"
-    )
-    if use_pallas and not transpose and s_out is not None and "w_packed" in layer:
-        from ..ops.pallas_conv_int8 import conv3x3_int8
-
-        by = layer["w_packed"].shape[1] // layer["s_w"].shape[0]
-        th = _pick_th(xq.shape[1])
-        if th % by == 0:
-            scale = s_in * layer["s_w"] / s_out
-            bias = layer["b"] / s_out
-            return conv3x3_int8(
-                xq, layer["w_packed"], scale, bias,
-                by=by, relu=relu, out_int8=True, th=th,
-            )
     dn = ("NHWC", "HWIO", "NHWC")
     if transpose:
         acc = jax.lax.conv_general_dilated(

@@ -54,8 +54,12 @@ class ServingLoop:
 
     def submit(self, image: np.ndarray) -> Future:
         """Queue one (H, W, C) image; resolves to its (H, W) label map."""
-        assert tuple(image.shape) == self.image_shape, (
-            image.shape, self.image_shape)
+        if self._stop.is_set():
+            raise RuntimeError("ServingLoop is closed")
+        if tuple(image.shape) != self.image_shape:
+            raise ValueError(
+                f"expected image shape {self.image_shape}, got {image.shape}"
+            )
         fut: Future = Future()
         self._q.put((np.asarray(image), fut))
         return fut
@@ -64,6 +68,7 @@ class ServingLoop:
         return self.submit(image).result()
 
     def close(self):
+        """Reject new submits, drain-serve already-queued requests, stop."""
         self._stop.set()
         self._q.put(None)  # wake the loop
         if self._started:
@@ -100,31 +105,37 @@ class ServingLoop:
             items.append(nxt)
         return items
 
-    def _loop(self):
+    def _serve(self, items):
         pad = np.zeros(self.image_shape, np.float32)
+        images = [img for img, _ in items]
+        while len(images) < self.batch_size:
+            images.append(pad)
+        batch = jnp.asarray(np.stack(images))
+        try:
+            out = np.asarray(self._forward(batch))
+        except Exception as e:  # resolve futures with the error
+            for _, fut in items:
+                fut.set_exception(e)
+            return
+        self.batches_run += 1
+        for i, (_, fut) in enumerate(items):
+            fut.set_result(out[i])
+            self.requests_served += 1
+
+    def _loop(self):
         while not self._stop.is_set():
             items = self._collect()
             if not items:
                 continue
-            images = [img for img, _ in items]
-            while len(images) < self.batch_size:
-                images.append(pad)
-            batch = jnp.asarray(np.stack(images))
-            try:
-                out = np.asarray(self._forward(batch))
-            except Exception as e:  # resolve futures with the error
-                for _, fut in items:
-                    fut.set_exception(e)
-                continue
-            self.batches_run += 1
-            for i, (_, fut) in enumerate(items):
-                fut.set_result(out[i])
-                self.requests_served += 1
-        # drain remaining requests on close
+            self._serve(items)
+        # drain-serve requests that were queued before close()
+        pending = []
         while True:
             try:
                 item = self._q.get_nowait()
             except queue.Empty:
                 break
             if item is not None:
-                item[1].cancel()
+                pending.append(item)
+        for i in range(0, len(pending), self.batch_size):
+            self._serve(pending[i : i + self.batch_size])

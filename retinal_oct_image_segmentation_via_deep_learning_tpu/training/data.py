@@ -157,48 +157,53 @@ def _crop_pad(img: np.ndarray, lab: np.ndarray, size):
     return img, lab
 
 
-def load_real_dataset(spec: str, image_size):
+def load_real_dataset(spec: str, image_size, return_volumes: bool = False):
     """'duke:<dir>' | 'retouch:<dir>' | 'png:<dir>' ->
-    (images (N,H,W,1) f32, labels (N,H,W) i32, num_classes).
+    (images (N,H,W,1) f32, labels (N,H,W) i32, num_classes[, vol_ids]).
 
     Only labeled B-scans are kept; volumes are flattened into one B-scan
     pool, cropped/padded top-left to ``image_size`` (the Duke convention).
+    With ``return_volumes=True`` also returns a per-B-scan int volume id so
+    callers can split train/val at volume granularity.
     """
     kind, _, root = spec.partition(":")
     if not root:
         raise ValueError(f"dataset spec needs a path: '{spec}'")
-    imgs, labs = [], []
+    imgs, labs, vols = [], [], []
     if kind == "duke":
         from .duke import annotated_slices, load_duke_dme_volume
 
         files = sorted(
             f for f in os.listdir(root) if f.lower().endswith(".mat")
         )
-        for f in files:
+        for v, f in enumerate(files):
             images, labels, valid = load_duke_dme_volume(
                 os.path.join(root, f)
             )
             for b in annotated_slices(labels, valid):
                 imgs.append(images[b])
                 labs.append(labels[b])
+                vols.append(v)
     elif kind == "retouch":
         from .retouch import iter_cases
 
-        for case in iter_cases(root):
+        for v, case in enumerate(iter_cases(root)):
             if case["labels"] is None:
                 continue
             for b in range(case["images"].shape[0]):
                 imgs.append(case["images"][b][..., None])
                 labs.append(case["labels"][b])
+                vols.append(v)
     elif kind == "png":
         from .png_volumes import iter_png_volumes
 
-        for vol in iter_png_volumes(root):
+        for v, vol in enumerate(iter_png_volumes(root)):
             if vol["labels"] is None:
                 continue
             for b in range(vol["images"].shape[0]):
                 imgs.append(vol["images"][b])
                 labs.append(vol["labels"][b])
+                vols.append(v)
     else:
         raise ValueError(f"unknown dataset kind '{kind}'")
     if not imgs:
@@ -206,7 +211,8 @@ def load_real_dataset(spec: str, image_size):
     pairs = [_crop_pad(i, l, image_size) for i, l in zip(imgs, labs)]
     images = np.stack([p[0] for p in pairs]).astype(np.float32)
     labels = np.stack([p[1] for p in pairs]).astype(np.int32)
-    return images, labels, int(labels.max()) + 1
+    out = (images, labels, int(labels.max()) + 1)
+    return out + (np.asarray(vols),) if return_volumes else out
 
 
 def make_datasets(spec: str, image_size, batch_size: int,
@@ -215,18 +221,34 @@ def make_datasets(spec: str, image_size, batch_size: int,
     """-> (train_ds, val_ds, num_classes | None).
 
     spec: 'synthetic' (on-device generator; num_classes from the caller) or
-    a real-data spec for ``load_real_dataset`` — the last ``val_fraction``
-    of B-scans (volume order) becomes the validation split.
+    a real-data spec for ``load_real_dataset``. The validation split holds
+    out WHOLE volumes (last volumes until >= ``val_fraction`` of B-scans) so
+    adjacent near-duplicate B-scans of one volume never straddle the split;
+    with a single volume it falls back to a B-scan index split.
     """
     if spec in (None, "", "synthetic", "synthetic_duke_dme"):
         return None  # caller builds the synthetic datasets (needs classes)
-    images, labels, num_classes = load_real_dataset(spec, image_size)
+    images, labels, num_classes, vols = load_real_dataset(
+        spec, image_size, return_volumes=True
+    )
     n = images.shape[0]
     n_val = max(int(n * val_fraction), min(batch_size, n // 2))
+    unique_vols = np.unique(vols)
+    if len(unique_vols) > 1:
+        counts = {v: int(np.sum(vols == v)) for v in unique_vols}
+        val_vols, acc = [], 0
+        for v in unique_vols[::-1]:
+            if acc >= n_val or len(val_vols) >= len(unique_vols) - 1:
+                break
+            val_vols.append(v)
+            acc += counts[v]
+        is_val = np.isin(vols, val_vols)
+    else:
+        is_val = np.arange(n) >= n - n_val
     train = numpy_folder_dataset(
-        images[: n - n_val], labels[: n - n_val], batch_size, seed=seed
+        images[~is_val], labels[~is_val], batch_size, seed=seed
     )
     val = numpy_folder_dataset(
-        images[n - n_val:], labels[n - n_val:], batch_size, shuffle=False
+        images[is_val], labels[is_val], batch_size, shuffle=False
     )
     return train, val, num_classes

@@ -94,19 +94,49 @@ def load_png_volume(image_dir: str, mask_dir: str | None = None,
     return images, labels, stems
 
 
-def iter_png_volumes(root: str, image_sub: str = "raw",
-                     mask_sub: str = "mask",
-                     value_map: Mapping[int, int] | None = None,
-                     match: str = "order") -> Iterator[dict]:
-    """Yield AROI-style per-volume dicts from ``root/<vol>/{raw,mask}/``."""
+def _volume_dirs(root: str, image_sub: str, mask_sub: str):
     for name in sorted(os.listdir(root)):
         vdir = os.path.join(root, name)
         idir = os.path.join(vdir, image_sub)
         if not os.path.isdir(idir):
             continue
         mdir = os.path.join(vdir, mask_sub)
+        yield name, idir, (mdir if os.path.isdir(mdir) else None)
+
+
+def scan_mask_values(root: str, image_sub: str = "raw",
+                     mask_sub: str = "mask") -> Mapping[int, int]:
+    """Global pixel-value -> class-id map over EVERY mask under ``root``.
+
+    With ``value_map=None`` a per-volume ``np.unique`` compaction would map
+    the same mask value to different class ids whenever a volume is missing
+    a class (silent label corruption across volumes); this pre-scan builds
+    one consistent map from the union of values, in sorted-value order.
+    """
+    values: set[int] = set()
+    for _name, _idir, mdir in _volume_dirs(root, image_sub, mask_sub):
+        if mdir is None:
+            continue
+        for path in _stems(mdir).values():
+            values.update(int(v) for v in np.unique(_imread(path)))
+    return {v: i for i, v in enumerate(sorted(values))}
+
+
+def iter_png_volumes(root: str, image_sub: str = "raw",
+                     mask_sub: str = "mask",
+                     value_map: Mapping[int, int] | None = None,
+                     match: str = "order") -> Iterator[dict]:
+    """Yield AROI-style per-volume dicts from ``root/<vol>/{raw,mask}/``.
+
+    When ``value_map`` is None, a global map is pre-scanned across all
+    volumes (``scan_mask_values``) so class ids are consistent even when
+    individual volumes are missing classes.
+    """
+    if value_map is None:
+        value_map = scan_mask_values(root, image_sub, mask_sub) or None
+    for name, idir, mdir in _volume_dirs(root, image_sub, mask_sub):
         images, labels, stems = load_png_volume(
-            idir, mdir if os.path.isdir(mdir) else None, value_map, match
+            idir, mdir, value_map, match
         )
         yield {"volume": name, "images": images, "labels": labels,
                "stems": stems}

@@ -41,6 +41,41 @@ def test_make_datasets_split_and_batches(tmp_path):
     assert make_datasets("synthetic", (32, 32), 2) is None
 
 
+def test_make_datasets_splits_whole_volumes(tmp_path):
+    # Validation must hold out WHOLE volumes: with 3 cases of 4 B-scans and
+    # val_fraction covering ~one case, the split is 8 train / 4 val (never
+    # a case straddling both sides).
+    root = _retouch_tree(tmp_path)
+    train, val, _ = make_datasets(
+        f"retouch:{root}", (32, 32), batch_size=2, val_fraction=0.3
+    )
+    n_train = train.steps_per_epoch * 2
+    n_val = val.steps_per_epoch * 2
+    assert n_train % 4 == 0 and n_val % 4 == 0
+
+    # volume identity: val images must all come from the held-out case(s)
+    from retinal_oct_image_segmentation_via_deep_learning_tpu.training.data import (
+        load_real_dataset,
+    )
+
+    images, _, _, vols = load_real_dataset(
+        f"retouch:{root}", (32, 32), return_volumes=True
+    )
+    val_imgs = np.concatenate([np.asarray(x) for x, _ in val.epoch(0)])
+    train_imgs = np.concatenate([np.asarray(x) for x, _ in train.epoch(0)])
+
+    def vols_of(batch_imgs):
+        out = set()
+        for img in batch_imgs:
+            idx = np.argmin(
+                np.sum((images - img[None]) ** 2, axis=(1, 2, 3))
+            )
+            out.add(int(vols[idx]))
+        return out
+
+    assert vols_of(val_imgs).isdisjoint(vols_of(train_imgs))
+
+
 def test_cli_train_on_real_data(tmp_path):
     from retinal_oct_image_segmentation_via_deep_learning_tpu import cli
 

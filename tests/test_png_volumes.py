@@ -69,3 +69,16 @@ def test_iter_volumes(tmp_path):
     assert [v["volume"] for v in vols] == ["patient1", "patient2"]
     assert vols[0]["images"].shape == (3, 16, 12, 1)
     assert vols[0]["labels"].shape == (3, 16, 12)
+
+
+def test_iter_volumes_global_class_ids(tmp_path):
+    # patient1 is missing level 128 entirely; per-volume compaction would
+    # map level 255 to class 2 there but class 3 in patient2. The global
+    # pre-scan must assign consistent ids across volumes.
+    _write_volume(tmp_path, "patient1", levels=(0, 64, 255))
+    _write_volume(tmp_path, "patient2", levels=(0, 64, 128, 255))
+    vols = {v["volume"]: v for v in iter_png_volumes(str(tmp_path))}
+    # global sorted values (0, 64, 128, 255) -> ids (0, 1, 2, 3)
+    assert set(np.unique(vols["patient1"]["labels"])) <= {0, 1, 3}
+    assert 2 not in np.unique(vols["patient1"]["labels"])
+    assert set(np.unique(vols["patient2"]["labels"])) <= {0, 1, 2, 3}

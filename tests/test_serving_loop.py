@@ -45,15 +45,30 @@ def test_matches_direct_forward(forward):
 def test_batching_amortizes(forward):
     rng = np.random.default_rng(1)
     imgs = rng.normal(0, 1, (8, H, W, 1)).astype(np.float32)
-    with ServingLoop(forward, (H, W, 1), batch_size=8,
-                     max_wait_ms=200) as loop:
-        loop.predict(imgs[0])  # warm the jit so the next batch coalesces
-        futs = [loop.submit(img) for img in imgs]
-        for f in futs:
-            f.result(timeout=60)
-        assert loop.requests_served == 9
-        # 8 submits within the wait window -> at most 2 device batches
-        assert loop.batches_run <= 3
+    # Pre-enqueue BEFORE starting the loop so coalescing is deterministic
+    # (no wall-clock dependence): the first _collect drains all 8 at once.
+    loop = ServingLoop(forward, (H, W, 1), batch_size=8, max_wait_ms=200)
+    futs = [loop.submit(img) for img in imgs]
+    loop.start()
+    for f in futs:
+        f.result(timeout=60)
+    assert loop.requests_served == 8
+    assert loop.batches_run == 1
+    loop.close()
+
+
+def test_submit_validation_and_drain_on_close(forward):
+    rng = np.random.default_rng(3)
+    imgs = rng.normal(0, 1, (5, H, W, 1)).astype(np.float32)
+    loop = ServingLoop(forward, (H, W, 1), batch_size=4).start()
+    with pytest.raises(ValueError):
+        loop.submit(np.zeros((H + 1, W, 1), np.float32))
+    futs = [loop.submit(img) for img in imgs]
+    loop.close()  # queued requests are drain-served, not cancelled
+    for f in futs:
+        assert f.result(timeout=60).shape == (H, W)
+    with pytest.raises(RuntimeError):
+        loop.submit(imgs[0])
 
 
 def test_concurrent_clients(forward):
