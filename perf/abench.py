@@ -12,7 +12,6 @@ from __future__ import annotations
 
 import os
 import sys
-import time
 from functools import partial
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -47,19 +46,13 @@ def build_run(batch):
 
 
 def scans_per_sec(batch):
+    from common import scan_diff
+
     variables, run = build_run(batch)
-
-    def t(iters):
-        key = jax.random.PRNGKey(1)
-        int(run(variables, key, iters))
-        best = float("inf")
-        for i in range(3):
-            t0 = time.perf_counter()
-            int(run(variables, jax.random.fold_in(key, i), iters))
-            best = min(best, time.perf_counter() - t0)
-        return best
-
-    per_batch = (t(LONG) - t(SHORT)) / (LONG - SHORT)
+    key = jax.random.PRNGKey(1)
+    per_batch = scan_diff(
+        lambda n: int(run(variables, key, n)), SHORT, LONG
+    )
     return batch / per_batch, per_batch
 
 

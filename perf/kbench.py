@@ -14,7 +14,6 @@ from __future__ import annotations
 
 import os
 import sys
-import time
 from functools import partial
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -102,18 +101,11 @@ def probe(name, H, W, cin, cout, by, th, per_tap=False, fresh=False,
         tot, _ = jax.lax.scan(body, jnp.int32(0), jnp.arange(iters))
         return tot
 
-    def t(iters):
-        go = (lambda n: int(run_chain(x, n))) if chain else (
-            lambda n: int(run(x, wp, n)))
-        go(iters)
-        best = float("inf")
-        for _ in range(3):
-            t0 = time.perf_counter()
-            go(iters)
-            best = min(best, time.perf_counter() - t0)
-        return best
+    from common import scan_diff
 
-    per_iter = (t(LONG) - t(SHORT)) / (LONG - SHORT)
+    go = (lambda n: int(run_chain(x, n))) if chain else (
+        lambda n: int(run(x, wp, n)))
+    per_iter = scan_diff(go, SHORT, LONG)
     flops = 2 * BATCH * H * W * 9 * cin * cout
     tags = ("pt" if per_tap else "") + ("F" if fresh else "") + (
         "X" if xla else "") + ("C" if chain else "")

@@ -18,7 +18,6 @@ from __future__ import annotations
 
 import os
 import sys
-import time
 from functools import partial
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -128,18 +127,13 @@ def measure(loss_fn, name):
         )
         return total
 
-    def t(iters):
-        s = jax.tree.map(lambda a: a + 0, state)
-        float(run(s, iters))
-        best = float("inf")
-        for _ in range(2):
-            s = jax.tree.map(lambda a: a + 0, state)
-            t0 = time.perf_counter()
-            float(run(s, iters))
-            best = min(best, time.perf_counter() - t0)
-        return best
+    from common import scan_diff
 
-    per_step = (t(10) - t(2)) / 8
+    def go(iters):
+        # donate-safe: keep a copy of state per call
+        float(run(jax.tree.map(lambda a: a + 0, state), iters))
+
+    per_step = scan_diff(go, 2, 10, reps=2)
     print(
         f"{name:13s}: {per_step*1e3:7.1f} ms/step  "
         f"{per_step/BATCH*1e3:5.2f} ms/img  {BATCH/per_step:6.0f} scans/s",

@@ -8,7 +8,6 @@ from __future__ import annotations
 
 import os
 import sys
-import time
 from functools import partial
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -70,16 +69,9 @@ def probe(name, H, W, cins, cout, tg, pool=False, fuse_dx=False):
         tot, _ = jax.lax.scan(body, jnp.int32(0), jnp.arange(iters))
         return tot
 
-    def t(iters):
-        int(run(ps, iters))
-        best = float("inf")
-        for _ in range(3):
-            t0 = time.perf_counter()
-            int(run(ps, iters))
-            best = min(best, time.perf_counter() - t0)
-        return best
+    from common import scan_diff
 
-    per_iter = (t(LONG) - t(SHORT)) / (LONG - SHORT)
+    per_iter = scan_diff(lambda n: int(run(ps, n)), SHORT, LONG)
     flops = 2 * BATCH * H * W * 9 * cin_tot * cout
     print(
         f"{name:5s} {H}^2 {cin_tot:3d}->{cout:3d} tg={tg}"

@@ -10,7 +10,6 @@ from __future__ import annotations
 
 import os
 import sys
-import time
 from functools import partial
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -83,19 +82,11 @@ def build(variant):
 
 
 def measure(variant):
+    from common import scan_diff
+
     qp, run = build(variant)
-
-    def t(iters):
-        key = jax.random.PRNGKey(1)
-        int(run(qp, key, iters))
-        best = float("inf")
-        for i in range(3):
-            t0 = time.perf_counter()
-            int(run(qp, jax.random.fold_in(key, i), iters))
-            best = min(best, time.perf_counter() - t0)
-        return best
-
-    per_batch = (t(LONG) - t(SHORT)) / (LONG - SHORT)
+    key = jax.random.PRNGKey(1)
+    per_batch = scan_diff(lambda n: int(run(qp, key, n)), SHORT, LONG)
     print(
         f"{variant:20s}: {per_batch*1e3:6.1f} ms/batch  "
         f"{BATCH/per_batch:7.0f} scans/s",

@@ -9,7 +9,6 @@ from __future__ import annotations
 
 import os
 import sys
-import time
 from functools import partial
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -57,20 +56,13 @@ def main():
         )
         return total
 
-    def t(iters):
-        nonlocal state
-        # donate_argnums would consume state; keep a copy per call
-        s = jax.tree.map(lambda a: a + 0, state)
-        out = float(run(s, iters))
-        best = float("inf")
-        for i in range(2):
-            s = jax.tree.map(lambda a: a + 0, state)
-            t0 = time.perf_counter()
-            float(run(s, iters))
-            best = min(best, time.perf_counter() - t0)
-        return best
+    from common import scan_diff
 
-    per_step = (t(12) - t(2)) / 10
+    def go(iters):
+        # donate_argnums would consume state; keep a copy per call
+        float(run(jax.tree.map(lambda a: a + 0, state), iters))
+
+    per_step = scan_diff(go, 2, 12, reps=2)
     print(
         f"train step: {per_step*1e3:.1f} ms/step @batch {BATCH} "
         f"-> {BATCH/per_step:.0f} scans/s training throughput"
