@@ -1,0 +1,210 @@
+"""Serving U-Net forward on the phase-split row-packed (PSRP) layout — v3.
+
+Replaces the round-2 row-packed graph (``inference/packed.py``) whose e2e
+time was dominated by XLA boundary taxes (round-3 trace: ~44 ms/batch of
+relayout copies + glue at batch 128 / 512^2). In PSRP (see
+``ops/pallas_conv_psrp``) every shallow-stage tensor keeps W-phases as
+major dims, so:
+
+* transpose convs write their output planes directly (no pack-transposes),
+* pools fuse into the producing conv (plane-pair max + lane-group max),
+* pooling lands exactly in the next stage's layout (incl. the deep region's
+  plain NHWC — no unpack pass),
+* skip concats fold into the consuming conv's GEMM with the skip requant
+  pre-folded into its weight quantization (as in round 2),
+* the 32-ch stages run fused K=576/384 dots (90% MXU K-efficiency) and the
+  64-ch stages by=2 banded K=512/256 (100%, 75% density).
+
+Stage table (f=32, H=W=512, batch-agnostic):
+
+    stage        layout in -> out                      kernel
+    stem         image (ps by BY=32, nph=4) -> P(4,4)  stem_psrp
+    blk0_conv1   P(4,4) -> P(4,4) [+pool -> P(2,2)]    conv3x3_psrp
+    blk1_conv0   P(2,2) 32ch -> P(2,2) 64ch            conv3x3_psrp
+    blk1_conv1   P(2,2) -> P(2,2) [+pool -> NHWC]      conv3x3_psrp
+    blk2..blk6   NHWC int8 (by=1 kernels + XLA cts)    conv3x3_int8
+    ct2          NHWC 128ch -> P(2,2) 64ch             ct_up_psrp
+    blk7_conv0/1 P(2,2)                                 conv3x3_psrp
+    ct3          P(2,2) 64ch -> P(4,4) 32ch            ct_psrp
+    blk8_conv0/1 P(4,4)                                 conv3x3_psrp
+    head         P(4,4) -> (N, H, W) labels            head_argmax_psrp
+
+Reference provenance: serves the reference U-Net
+(`/root/reference/SOTAS/Lesions_Segment/YNet_2022.py:509-602`); the layout
+machinery is TPU-native with no reference counterpart.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.pallas_conv_int8 import conv3x3_int8, pack_weights
+from ..ops.pallas_conv_psrp import (
+    conv3x3_psrp,
+    ct_psrp,
+    ct_up_psrp,
+    head_argmax_psrp,
+    pack_ct_psrp_weights,
+    pack_ct_up_weights,
+    pack_head_psrp_weights,
+    pack_psrp_weights,
+    pack_stem_psrp_weights,
+    prep_stem_input,
+    stem_psrp,
+)
+from .quantized import DEEP_STAGES, _pick_th, _pool, _qconv, quantize_unet
+
+STEM_BY = 32  # deep row packing of the 1-channel input image
+NPH_STEM = 4
+
+# stage -> (by, nph, cins); cat stages list (up, skip) channel splits.
+PSRP_STAGES = {
+    "blk0_conv1": (4, 4, (32,)),
+    "blk1_conv0": (2, 2, (32,)),
+    "blk1_conv1": (2, 2, (64,)),
+    "blk7_conv0": (2, 2, (64, 64)),
+    "blk7_conv1": (2, 2, (64,)),
+    "blk8_conv0": (4, 4, (32, 32)),
+    "blk8_conv1": (4, 4, (32,)),
+}
+
+
+def _quant_w(w):
+    s_w = np.max(np.abs(w), axis=(0, 1, 2)) / 127.0
+    s_w = np.maximum(s_w, 1e-12).astype(np.float32)
+    w_q = np.clip(np.round(w / s_w), -127, 127).astype(np.int8)
+    return w_q, s_w
+
+
+def quantize_unet_psrp(layers, taps, init_features: int = 32):
+    """qparams for ``unet_psrp_forward`` (f=init_features U-Net)."""
+    assert init_features == 32, "PSRP stage table assumes f=32"
+    q = quantize_unet(layers, taps, pallas=False)
+    s = {k: np.float32(v) for k, v in q["_act_scales"].items()}
+
+    for name in DEEP_STAGES:
+        q[name]["w_packed"] = pack_weights(q[name]["w_q"], 1)
+
+    # cat convs: fold the skip requant (s_skip -> s_cat) into the skip-half
+    # weight quantization — exact up to int8 weight rounding (round 2).
+    skip_scale = {
+        "blk7_conv0": s["blk2_conv0_in"] / s["blk7_cat"],
+        "blk8_conv0": s["blk1_conv0_in"] / s["blk8_cat"],
+    }
+    for name, (by, nph, cins) in PSRP_STAGES.items():
+        w = layers[name]["w"].copy()
+        if name in skip_scale:
+            w[:, :, cins[0]:, :] *= skip_scale[name]
+        w_q, s_w = _quant_w(w)
+        q[name]["w_q"], q[name]["s_w"] = w_q, s_w
+        mats, _ = pack_psrp_weights(w_q, by, nph)
+        q[name]["w_psrp"] = tuple(mats)
+
+    stem_mats, _ = pack_stem_psrp_weights(
+        q["blk0_conv0"]["w_q"], STEM_BY, NPH_STEM
+    )
+    q["blk0_conv0"]["w_stem"] = tuple(stem_mats)
+    q["head"]["w_head"] = pack_head_psrp_weights(q["head"]["w_q"], 4)
+    for name in ("ct2", "ct3"):
+        packer = pack_ct_up_weights if name == "ct2" else (
+            lambda w: pack_ct_psrp_weights(w, by_in=2)
+        )
+        q[name]["w_ct"] = tuple(packer(q[name]["w_q"]))
+    return q
+
+
+def unet_psrp_forward(qparams, x, num_classes: int, tg: int = 8):
+    """x: (N, H, W, 1) fp32/bf16 -> (N, H, W) int8 argmax labels."""
+    s = qparams["_act_scales"]
+    N, H, W, _ = x.shape
+    interp = jax.default_backend() != "tpu"  # CPU tests: interpret mode
+
+    def eff(name, in_key, out_key):
+        lw = qparams[name]
+        return (s[in_key] * lw["s_w"] / s[out_key], lw["b"] / s[out_key])
+
+    # --- stem ---
+    xp = prep_stem_input(x, s["blk0_conv0_in"], BY=STEM_BY, nph=NPH_STEM)
+    sc, b = eff("blk0_conv0", "blk0_conv0_in", "blk0_conv1_in")
+    h = stem_psrp(
+        xp, qparams["blk0_conv0"]["w_stem"], sc, b,
+        BY=STEM_BY, by_out=4, nph=NPH_STEM, interpret=interp,
+    )
+
+    def pconv(inputs, name, in_key, out_key, pool=False):
+        by, nph, cins = PSRP_STAGES[name]
+        scale, bias = eff(name, in_key, out_key)
+        return conv3x3_psrp(
+            tuple(inputs), qparams[name]["w_psrp"], scale, bias,
+            by=by, nph=nph, cins=cins, tg=tg, pool=pool, interpret=interp,
+        )
+
+    enc0, h = pconv([h], "blk0_conv1", "blk0_conv1_in", "blk1_conv0_in",
+                    pool=True)  # pooled: P(2,2) 32ch
+    h = pconv([h], "blk1_conv0", "blk1_conv0_in", "blk1_conv1_in")
+    enc1, hp = pconv([h], "blk1_conv1", "blk1_conv1_in", "blk2_conv0_in",
+                     pool=True)
+    # nph=2 pool lands in the plain deep layout
+    G, W2 = hp.shape[1], hp.shape[3]
+    hq = hp.reshape(N, G, W2, hp.shape[-1])
+
+    # --- deep region (by=1 kernels + XLA glue; unchanged from round 2) ---
+    def dconv(hq, name, in_key, out_key):
+        layer = qparams[name]
+        if not interp:
+            scale = s[in_key] * layer["s_w"] / s[out_key]
+            bias = layer["b"] / s[out_key]
+            return conv3x3_int8(
+                hq, layer["w_packed"], scale, bias, by=1, relu=True,
+                out_int8=True, th=_pick_th(hq.shape[1]),
+            )
+        return _qconv(hq, s[in_key], layer, s[out_key])
+
+    deep_enc = []
+    for i in (2, 3):
+        hq = dconv(hq, f"blk{i}_conv0", f"blk{i}_conv0_in",
+                   f"blk{i}_conv1_in")
+        nxt = f"blk{i+1}_conv0_in"
+        hq = dconv(hq, f"blk{i}_conv1", f"blk{i}_conv1_in", nxt)
+        deep_enc.append((hq, s[nxt]))
+        hq = _pool(hq)
+    hq = dconv(hq, "blk4_conv0", "blk4_conv0_in", "blk4_conv1_in")
+    hq = dconv(hq, "blk4_conv1", "blk4_conv1_in", "ct0_in")
+    hs = s["ct0_in"]
+    for ct, blk in ((0, 5), (1, 6)):
+        cat_s = s[f"blk{blk}_cat"]
+        up = _qconv(hq, hs, qparams[f"ct{ct}"], cat_s, relu=False,
+                    transpose=True)
+        sk_q, sk_s = deep_enc[1 - ct]
+        sk = jnp.clip(
+            jnp.round(sk_q.astype(jnp.float32) * (sk_s / cat_s)), -127, 127
+        ).astype(jnp.int8)
+        hq = jnp.concatenate([up, sk], axis=-1)
+        hq = dconv(hq, f"blk{blk}_conv0", f"blk{blk}_cat",
+                   f"blk{blk}_conv1_in")
+        nxt = f"ct{ct+1}_in"
+        hq = dconv(hq, f"blk{blk}_conv1", f"blk{blk}_conv1_in", nxt)
+        hs = s[nxt]
+
+    # --- PSRP decoder ---
+    sc = s["ct2_in"] * qparams["ct2"]["s_w"] / s["blk7_cat"]
+    b = qparams["ct2"]["b"] / s["blk7_cat"]
+    up = ct_up_psrp(hq, qparams["ct2"]["w_ct"], sc, b, tr=tg,
+                    interpret=interp)
+    h = pconv([up, enc1], "blk7_conv0", "blk7_cat", "blk7_conv1_in")
+    h = pconv([h], "blk7_conv1", "blk7_conv1_in", "ct3_in")
+    sc = s["ct3_in"] * qparams["ct3"]["s_w"] / s["blk8_cat"]
+    b = qparams["ct3"]["b"] / s["blk8_cat"]
+    up = ct_psrp(h, qparams["ct3"]["w_ct"], sc, b, by_in=2, nph_in=2,
+                 tg=tg, interpret=interp)
+    h = pconv([up, enc0], "blk8_conv0", "blk8_cat", "blk8_conv1_in")
+    h = pconv([h], "blk8_conv1", "blk8_conv1_in", "head_in")
+
+    lw = qparams["head"]
+    return head_argmax_psrp(
+        h, lw["w_head"], s["head_in"] * lw["s_w"], lw["b"], by=4, nph=4,
+        nc=num_classes, tg=tg, interpret=interp,
+    )

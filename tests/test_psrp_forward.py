@@ -1,0 +1,46 @@
+"""Full PSRP serving forward vs the all-int8 and fp32 graphs (interpret)."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def test_unet_psrp_forward_matches_int8():
+    from retinal_oct_image_segmentation_via_deep_learning_tpu.inference.psrp import (
+        quantize_unet_psrp,
+        unet_psrp_forward,
+    )
+    from retinal_oct_image_segmentation_via_deep_learning_tpu.inference.quantized import (
+        calibrate_unet,
+        fold_unet_bn,
+        folded_forward,
+        quantize_unet,
+        unet_int8_forward,
+    )
+    from retinal_oct_image_segmentation_via_deep_learning_tpu.models.unet import (
+        UNet,
+    )
+
+    model = UNet(out_channels=10, init_features=32)
+    v = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 1)))
+    layers = fold_unet_bn(v)
+    calib = np.random.default_rng(0).standard_normal(
+        (2, 64, 64, 1)
+    ).astype(np.float32)
+    taps = calibrate_unet(layers, [calib])
+    qp = jax.tree.map(jnp.asarray, quantize_unet_psrp(layers, taps))
+    x = jnp.asarray(
+        np.random.default_rng(1).standard_normal((2, 64, 64, 1)),
+        jnp.float32,
+    )
+    lab = unet_psrp_forward(qp, x, 10, tg=4)
+    assert lab.shape == (2, 64, 64)
+    ref_int8 = jnp.argmax(
+        unet_int8_forward(quantize_unet(layers, taps), x), -1
+    )
+    ref_f32 = jnp.argmax(folded_forward(layers, x), -1)
+    # only divergence from the all-int8 graph: skip requants folded into
+    # weight quantization (re-rounded int8 weights) -> near-total agreement
+    assert float((lab.astype(jnp.int32) == ref_int8).mean()) > 0.995
+    assert float((lab.astype(jnp.int32) == ref_f32).mean()) > 0.95
