@@ -99,10 +99,18 @@ def create_hybrid_mesh(
         ici_data = len(jax.devices()) // (dcn_data * space)
     if dcn_data == 1:
         return create_mesh(data=ici_data, space=space)
-    from jax.experimental import mesh_utils
+    try:
+        from jax.experimental import mesh_utils
 
-    devices = mesh_utils.create_hybrid_device_mesh(
-        mesh_shape=(ici_data, space),
-        dcn_mesh_shape=(dcn_data, 1),
-    )  # -> (dcn_data * ici_data, space)
+        devices = mesh_utils.create_hybrid_device_mesh(
+            mesh_shape=(ici_data, space),
+            dcn_mesh_shape=(dcn_data, 1),
+        )  # -> (dcn_data * ici_data, space)
+    except ValueError:
+        # Backends without slice topology (multi-process CPU/GPU): build the
+        # same DCN-major/ICI-minor layout from process ids directly.
+        devs = sorted(jax.devices(), key=lambda d: (d.process_index, d.id))
+        devices = np.array(devs[: dcn_data * ici_data * space]).reshape(
+            dcn_data * ici_data, space
+        )
     return Mesh(devices, (DATA_AXIS, SPACE_AXIS))
