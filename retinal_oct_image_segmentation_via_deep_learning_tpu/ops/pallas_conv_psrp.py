@@ -173,9 +173,7 @@ def _psrp_kernel(tg, by, nph, W2, cins, cout, relu, pool, meta):
                 grp = [prev_rows] + [
                     body[:, :, i * cin : (i + 1) * cin] for i in range(by)
                 ] + [next_rows]
-                per_phase.append(
-                    [jnp.pad(g, ((0, 0), (1, 1), (0, 0))) for g in grp]
-                )
+                per_phase.append(grp)
             rows.append(per_phase)
 
         wi = 0
@@ -183,16 +181,21 @@ def _psrp_kernel(tg, by, nph, W2, cins, cout, relu, pool, meta):
         for phip in range(nph):
             acc = None
             for ws, taps in taps_by_phase[phip]:
+                # Concat FIRST (all pieces at sublane offset 0 — legal),
+                # then ONE pad+shift-slice of the big array: Mosaic rejects
+                # per-piece pad+slice (offset mismatch), bisected round 3.
                 pieces = []
                 for _dx, phi_in in taps:
                     for j in range(by + 2):
                         for k in range(n_in):
-                            pieces.append(
-                                rows[k][phi_in][j][:, ws + 1 : ws + 1 + W2]
-                            )
+                            pieces.append(rows[k][phi_in][j])
                 X = jnp.concatenate(pieces, axis=-1) if len(pieces) > 1 \
                     else pieces[0]
                 K = X.shape[-1]
+                if ws:
+                    X = jnp.pad(X, ((0, 0), (1, 1), (0, 0)))[
+                        :, ws + 1 : ws + 1 + W2
+                    ]
                 part = jax.lax.dot_general(
                     X.reshape(tg * W2, K), w_refs[wi][...],
                     (((1,), (0,)), ((), ())),
