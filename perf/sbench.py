@@ -24,7 +24,7 @@ SIZE = 512
 SHORT, LONG = 2, 22
 
 VARIANTS = ("int8", "mixed-bf16-pallas", "mixed-bf16-xla",
-            "mixed-int8-pallas", "packed")
+            "mixed-int8-pallas", "packed", "psrp")
 
 
 def build(variant):
@@ -58,6 +58,15 @@ def build(variant):
 
         qp = quantize_unet_packed(layers, taps)
         fwd = None
+    elif variant.startswith("psrp"):
+        from retinal_oct_image_segmentation_via_deep_learning_tpu.inference.psrp import (
+            quantize_unet_psrp,
+            unet_psrp_forward,
+        )
+
+        qp = quantize_unet_psrp(layers, taps)
+        tg = int(variant.split(":tg=")[1]) if ":tg=" in variant else 8
+        fwd = partial(unet_psrp_forward, num_classes=10, tg=tg)
     else:
         qp = quantize_unet_mixed(layers, taps)
         _, shallow, deep = variant.split("-")
@@ -71,6 +80,8 @@ def build(variant):
             x = (x.astype(jnp.float32) / 65536.0) - 0.5
             if variant == "packed":
                 lab = unet_packed_forward(qp, x, 10)
+            elif variant.startswith("psrp"):
+                lab = fwd(qp, x)  # emits int8 labels directly
             else:
                 lab = jnp.argmax(fwd(qp, x), axis=-1)
             return carry + jnp.sum(lab, dtype=jnp.int32), None

@@ -2,6 +2,7 @@
 spatial halo sharding, sliding-window inference."""
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -108,6 +109,30 @@ def test_spatial_shard_unet_exact(rng):
     full = model.apply(variables, x, train=False)
 
     mesh = create_mesh(data=1, space=4)  # H shard = 16 = one pool-16 block
+    sharded = spatial_shard_infer(
+        lambda v, t: model.apply(v, t, train=False), variables, x, mesh
+    )
+    np.testing.assert_allclose(np.asarray(sharded), np.asarray(full),
+                               atol=1e-4, rtol=1e-4)
+
+
+@pytest.mark.slow
+def test_spatial_shard_unet_512(rng):
+    """SP at production scale (VERDICT r2 item 7): a full 512x512 B-scan
+    sharded space=4 through the registry U-Net equals the single-device
+    forward at every pixel, borders included."""
+    from retinal_oct_image_segmentation_via_deep_learning_tpu.models.unet import (
+        UNet,
+    )
+    from retinal_oct_image_segmentation_via_deep_learning_tpu.parallel.halo import (
+        spatial_shard_infer,
+    )
+
+    model = UNet(out_channels=4, init_features=8, dtype=jnp.float32)
+    x = jnp.asarray(rng.standard_normal((1, 512, 512, 1)).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(0), x[:, :64, :64])
+    full = model.apply(variables, x, train=False)
+    mesh = create_mesh(data=1, space=4)  # 128-row shards
     sharded = spatial_shard_infer(
         lambda v, t: model.apply(v, t, train=False), variables, x, mesh
     )
