@@ -55,7 +55,7 @@ from ..ops.pallas_conv_psrp import (
     prep_stem_input,
     stem_psrp,
 )
-from .quantized import DEEP_STAGES, _pick_th, _pool, _qconv, quantize_unet
+from .quantized import DEEP_STAGES, _pick_th, _qconv, quantize_unet
 
 STEM_BY = 32  # deep row packing of the 1-channel input image
 NPH_STEM = 4
@@ -90,7 +90,11 @@ def quantize_unet_psrp(layers, taps, init_features: int = 32):
 
     # cat convs: fold the skip requant (s_skip -> s_cat) into the skip-half
     # weight quantization — exact up to int8 weight rounding (round 2).
+    # Round 3 extends this to the DEEP cat convs too, so the deep skips feed
+    # the folded-concat kernel raw (no separate requant pass, no concat copy).
     skip_scale = {
+        "blk5_conv0": s["blk4_conv0_in"] / s["blk5_cat"],
+        "blk6_conv0": s["blk3_conv0_in"] / s["blk6_cat"],
         "blk7_conv0": s["blk2_conv0_in"] / s["blk7_cat"],
         "blk8_conv0": s["blk1_conv0_in"] / s["blk8_cat"],
     }
@@ -102,6 +106,13 @@ def quantize_unet_psrp(layers, taps, init_features: int = 32):
         q[name]["w_q"], q[name]["s_w"] = w_q, s_w
         mats, _ = pack_psrp_weights(w_q, by, nph)
         q[name]["w_psrp"] = tuple(mats)
+    for name in ("blk5_conv0", "blk6_conv0"):
+        w = layers[name]["w"].copy()
+        half = w.shape[2] // 2
+        w[:, :, half:, :] *= skip_scale[name]
+        w_q, s_w = _quant_w(w)
+        q[name]["w_q"], q[name]["s_w"] = w_q, s_w
+        q[name]["w_packed"] = pack_weights(w_q, 1)
 
     stem_mats, _ = pack_stem_psrp_weights(
         q["blk0_conv0"]["w_q"], STEM_BY, NPH_STEM
@@ -151,17 +162,26 @@ def unet_psrp_forward(qparams, x, num_classes: int, tg: int = 8):
     G, W2 = hp.shape[1], hp.shape[3]
     hq = hp.reshape(N, G, W2, hp.shape[-1])
 
-    # --- deep region (by=1 kernels + XLA glue; unchanged from round 2) ---
-    def dconv(hq, name, in_key, out_key):
+    # --- deep region: by=1 kernels with folded cat; reshape-lowered pools
+    # (reduce_window pins layouts and un-fuses neighbours — round-2 trace) ---
+    def _dpool(t):
+        n, h, w, c = t.shape
+        return jnp.max(t.reshape(n, h // 2, 2, w // 2, 2, c), axis=(2, 4))
+
+    def dconv(inputs, name, in_key, out_key):
         layer = qparams[name]
+        if not isinstance(inputs, (tuple, list)):
+            inputs = (inputs,)
         if not interp:
             scale = s[in_key] * layer["s_w"] / s[out_key]
             bias = layer["b"] / s[out_key]
             return conv3x3_int8(
-                hq, layer["w_packed"], scale, bias, by=1, relu=True,
-                out_int8=True, th=_pick_th(hq.shape[1]),
+                tuple(inputs), layer["w_packed"], scale, bias, by=1,
+                relu=True, out_int8=True, th=_pick_th(inputs[0].shape[1]),
             )
-        return _qconv(hq, s[in_key], layer, s[out_key])
+        cat = (jnp.concatenate(inputs, axis=-1) if len(inputs) > 1
+               else inputs[0])
+        return _qconv(cat, s[in_key], layer, s[out_key])
 
     deep_enc = []
     for i in (2, 3):
@@ -169,8 +189,8 @@ def unet_psrp_forward(qparams, x, num_classes: int, tg: int = 8):
                    f"blk{i}_conv1_in")
         nxt = f"blk{i+1}_conv0_in"
         hq = dconv(hq, f"blk{i}_conv1", f"blk{i}_conv1_in", nxt)
-        deep_enc.append((hq, s[nxt]))
-        hq = _pool(hq)
+        deep_enc.append(hq)
+        hq = _dpool(hq)
     hq = dconv(hq, "blk4_conv0", "blk4_conv0_in", "blk4_conv1_in")
     hq = dconv(hq, "blk4_conv1", "blk4_conv1_in", "ct0_in")
     hs = s["ct0_in"]
@@ -178,13 +198,9 @@ def unet_psrp_forward(qparams, x, num_classes: int, tg: int = 8):
         cat_s = s[f"blk{blk}_cat"]
         up = _qconv(hq, hs, qparams[f"ct{ct}"], cat_s, relu=False,
                     transpose=True)
-        sk_q, sk_s = deep_enc[1 - ct]
-        sk = jnp.clip(
-            jnp.round(sk_q.astype(jnp.float32) * (sk_s / cat_s)), -127, 127
-        ).astype(jnp.int8)
-        hq = jnp.concatenate([up, sk], axis=-1)
-        hq = dconv(hq, f"blk{blk}_conv0", f"blk{blk}_cat",
-                   f"blk{blk}_conv1_in")
+        # skip feeds RAW — its requant is folded into the conv's weights
+        hq = dconv((up, deep_enc[1 - ct]), f"blk{blk}_conv0",
+                   f"blk{blk}_cat", f"blk{blk}_conv1_in")
         nxt = f"ct{ct+1}_in"
         hq = dconv(hq, f"blk{blk}_conv1", f"blk{blk}_conv1_in", nxt)
         hs = s[nxt]

@@ -67,24 +67,33 @@ def pack_weights(w, by: int = 1):
     return packed.reshape(kw * (by + 2) * cin, by * cout)
 
 
-def _make_kernel(th, by, W, cin, cout, relu, out_int8, force_per_tap=False):
+def _make_kernel(th, by, W, cins, cout, relu, out_int8, force_per_tap=False):
     nb = th // by
-    ntaps = (by + 2) * 3
+    cin = sum(cins)
+    n_in = len(cins)
 
-    def kernel(top_ref, body_ref, bot_ref, w_ref, scale_ref, bias_ref, o_ref):
+    def kernel(*refs):
+        w_ref, scale_ref, bias_ref = refs[3 * n_in : 3 * n_in + 3]
+        o_ref = refs[3 * n_in + 3]
         # Halo rows are single-row blocks of x itself (index-mapped to the
         # neighbouring strip's edge row, clamped at the image border); the
         # border rows are zero-masked here so the result is 'same' zero
         # padding. Round-2 e2e traces: materializing separate top/bot halo
         # arrays in XLA cost 1-2 ms per conv (unhoistable gather+pad
-        # fusions); block-indexed reads cost nothing.
+        # fusions); block-indexed reads cost nothing. A second input folds
+        # ``concat([a, b], channel)`` into the GEMM (lane-concat, offset 0)
+        # — the skip-concat copies measured in the round-3 trace die here.
         s = pl.program_id(1)
         ns = pl.num_programs(1)
-        top = jnp.where(s == 0, jnp.int8(0), top_ref[0, 0])
-        bot = jnp.where(s == ns - 1, jnp.int8(0), bot_ref[0, 0])
-        tile = jnp.concatenate(
-            [top[None], body_ref[0], bot[None]], axis=0
-        )  # (th+2, W, C)
+        tiles = []
+        for k in range(n_in):
+            top_ref, body_ref, bot_ref = refs[3 * k : 3 * k + 3]
+            top = jnp.where(s == 0, jnp.int8(0), top_ref[0, 0])
+            bot = jnp.where(s == ns - 1, jnp.int8(0), bot_ref[0, 0])
+            tiles.append(jnp.concatenate(
+                [top[None], body_ref[0], bot[None]], axis=0
+            ))  # (th+2, W, C_k)
+        tile = (jnp.concatenate(tiles, axis=-1) if n_in > 1 else tiles[0])
         # (by-1) trailing dummy rows let every tap slice th rows for the
         # strided reshape below; the [:, 0] stride never selects them.
         padded = jnp.pad(tile, ((0, by - 1), (1, 1), (0, 0)))  # (th+1+by,W+2,C)
@@ -154,11 +163,16 @@ def _make_kernel(th, by, W, cin, cout, relu, out_int8, force_per_tap=False):
                                    "interpret", "force_per_tap"))
 def conv3x3_int8(x, w_packed, scale, bias, *, by=1, relu=True, out_int8=True,
                  th=16, interpret=False, force_per_tap=False):
-    """x: (N, H, W, Cin) int8; w_packed: pack_weights(w, by) int8;
-    scale: (Cout,) fp32 (= s_in*s_w/s_out); bias: (Cout,) fp32 (already in
-    output-scale units). Returns (N, H, W, Cout) int8 (fp32 with
-    out_int8=False)."""
-    N, H, W, cin = x.shape
+    """x: (N, H, W, Cin) int8 — or a tuple of such tensors, whose channel
+    concat is folded into the GEMM (weights packed for the cat channels);
+    w_packed: pack_weights(w, by) int8; scale: (Cout,) fp32
+    (= s_in*s_w/s_out); bias: (Cout,) fp32 (already in output-scale units).
+    Returns (N, H, W, Cout) int8 (fp32 with out_int8=False)."""
+    if not isinstance(x, (tuple, list)):
+        x = (x,)
+    N, H, W, _ = x[0].shape
+    cins = tuple(t.shape[-1] for t in x)
+    cin = sum(cins)
     assert th % by == 0 and H % th == 0, (H, th, by)
     cout = w_packed.shape[1] // by
     assert w_packed.shape[0] == (by + 2) * 3 * cin, (w_packed.shape, by, cin)
@@ -169,20 +183,31 @@ def conv3x3_int8(x, w_packed, scale, bias, *, by=1, relu=True, out_int8=True,
     bias_p = jnp.tile(bias, by)[None]
 
     out_dtype = jnp.int8 if out_int8 else jnp.float32
-    kern = _make_kernel(th, by, W, cin, cout, relu, out_int8, force_per_tap)
+    kern = _make_kernel(th, by, W, cins, cout, relu, out_int8, force_per_tap)
     # Single-row halo blocks read straight out of x: block size 1 on the row
     # dim makes the block index a row index, so the index map can address the
     # neighbouring strip's edge row (clamped at borders; kernel zero-masks).
-    top_spec = pl.BlockSpec(
-        (1, 1, W, cin),
-        lambda n, s: (n, jnp.maximum(s * th - 1, 0), 0, 0),
-        memory_space=pltpu.VMEM,
-    )
-    bot_spec = pl.BlockSpec(
-        (1, 1, W, cin),
-        lambda n, s: (n, jnp.minimum((s + 1) * th, H - 1), 0, 0),
-        memory_space=pltpu.VMEM,
-    )
+    in_specs = []
+    operands = []
+    for t, ck in zip(x, cins):
+        in_specs += [
+            pl.BlockSpec(
+                (1, 1, W, ck),
+                lambda n, s: (n, jnp.maximum(s * th - 1, 0), 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, th, W, ck), lambda n, s: (n, s, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, W, ck),
+                lambda n, s: (n, jnp.minimum((s + 1) * th, H - 1), 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ]
+        operands += [t] * 3
+    in_specs += [pl.BlockSpec(memory_space=pltpu.VMEM)] * 3
     if by == 1:
         out_specs = pl.BlockSpec(
             (1, th, W, cout), lambda n, s: (n, s, 0, 0),
@@ -198,21 +223,11 @@ def conv3x3_int8(x, w_packed, scale, bias, *, by=1, relu=True, out_int8=True,
     out = pl.pallas_call(
         kern,
         grid=(N, S),
-        in_specs=[
-            top_spec,
-            pl.BlockSpec(
-                (1, th, W, cin), lambda n, s: (n, s, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            bot_spec,
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
         interpret=interpret,
-    )(x, x, x, w_packed, scale_p, bias_p)
+    )(*operands, w_packed, scale_p, bias_p)
     return out.reshape(N, H, W, cout)
 
 

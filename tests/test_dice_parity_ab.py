@@ -29,19 +29,20 @@ from reference_loader import load_reference
 
 pytestmark = pytest.mark.slow
 
-H = W = 64
-NC = 10  # 8 layers + background + fluid
+H = W = 128
+NC = 5  # background + 4 layers (thicker layers converge on CPU budgets)
 FEATURES = 8
-EPOCHS = 6
+EPOCHS = 12
 BATCH = 8
-LR = 1e-3
+LR = 2e-3
 
 
-def _dataset(n_train=48, n_val=16):
-    cfg = SyntheticOCTConfig(height=H, width=W, seed=3)
+def _dataset(n_train=32, n_val=16):
+    cfg = SyntheticOCTConfig(height=H, width=W, num_layers=NC - 1,
+                             fluid=False, seed=3)
     assert cfg.num_classes == NC
     xs, ys = [], []
-    for i in range((n_train + n_val) // 16):
+    for i in range(-(-(n_train + n_val) // 16)):
         x, y = synth_batch(jax.random.fold_in(jax.random.PRNGKey(7), i),
                            16, cfg)
         xs.append(np.asarray(x))
@@ -148,6 +149,6 @@ def test_dice_parity_synthetic_ab():
     dice_flax = _train_flax(dict(variables), train, val)
 
     print(f"\nDice A/B: torch={dice_torch:.4f} flax={dice_flax:.4f}")
-    assert dice_torch > 0.5, dice_torch  # training actually worked
-    assert dice_flax > 0.5, dice_flax
-    assert abs(dice_torch - dice_flax) < 0.05, (dice_torch, dice_flax)
+    assert dice_torch > 0.6, dice_torch  # training actually worked
+    assert dice_flax > 0.6, dice_flax
+    assert abs(dice_torch - dice_flax) < 0.06, (dice_torch, dice_flax)
