@@ -1,0 +1,111 @@
+"""On-chip accuracy contract for the PSRP serving graph (VERDICT r2 item 4).
+
+Runs on the REAL TPU (not interpret mode): trains the f=32 U-Net briefly on
+on-device synthetic OCT, post-training-quantizes it, and measures argmax
+agreement of the full-Pallas PSRP serving graph against (a) the all-XLA
+int8 graph and (b) the fp32 folded forward, at 512^2 on a held-out batch.
+
+Usage: python perf/psrp_accuracy.py [steps]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+SIZE = 512
+NC = 10
+
+
+def main(steps=30):
+    import optax
+
+    from retinal_oct_image_segmentation_via_deep_learning_tpu.inference.psrp import (
+        quantize_unet_psrp,
+        unet_psrp_forward,
+    )
+    from retinal_oct_image_segmentation_via_deep_learning_tpu.inference.quantized import (
+        calibrate_unet,
+        fold_unet_bn,
+        folded_forward,
+        quantize_unet,
+        unet_int8_forward,
+    )
+    from retinal_oct_image_segmentation_via_deep_learning_tpu.models.unet import (
+        UNet,
+    )
+    from retinal_oct_image_segmentation_via_deep_learning_tpu.training.data import (
+        SyntheticOCTConfig,
+        synth_batch,
+    )
+
+    cfg = SyntheticOCTConfig(height=SIZE, width=SIZE, seed=5)
+    assert cfg.num_classes == NC
+    model = UNet(out_channels=NC, init_features=32, dtype=jnp.bfloat16)
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, SIZE, SIZE, 1), jnp.bfloat16)
+    )
+    params, stats = variables["params"], variables["batch_stats"]
+    tx = optax.adam(1e-3)
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def step(params, stats, opt_state, key):
+        x, y = synth_batch(key, 8, cfg)
+
+        def loss_fn(p):
+            logits, upd = model.apply(
+                {"params": p, "batch_stats": stats}, x, train=True,
+                mutable=["batch_stats"],
+            )
+            logp = jax.nn.log_softmax(logits.astype(jnp.float32), -1)
+            onehot = jax.nn.one_hot(y, NC)
+            return -jnp.mean(jnp.sum(logp * onehot, -1)), upd["batch_stats"]
+
+        (loss, new_stats), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), new_stats, opt_state, loss
+
+    key = jax.random.PRNGKey(1)
+    for i in range(steps):
+        params, stats, opt_state, loss = step(
+            params, stats, opt_state, jax.random.fold_in(key, i)
+        )
+        if i % 10 == 0:
+            print(f"step {i} loss {float(loss):.4f}", flush=True)
+
+    layers = fold_unet_bn({"params": params, "batch_stats": stats})
+    xc, _ = synth_batch(jax.random.PRNGKey(99), 4, cfg)
+    taps = calibrate_unet(layers, [np.asarray(xc, np.float32)])
+    qp_psrp = jax.tree.map(jnp.asarray, quantize_unet_psrp(layers, taps))
+    qp_int8 = jax.tree.map(jnp.asarray, quantize_unet(layers, taps, False))
+
+    xt, yt = synth_batch(jax.random.PRNGKey(123), 8, cfg)
+    lab_psrp = np.asarray(unet_psrp_forward(qp_psrp, xt, NC))
+    lab_int8 = np.asarray(jnp.argmax(unet_int8_forward(qp_int8, xt), -1))
+    lab_f32 = np.asarray(jnp.argmax(folded_forward(layers, xt), -1))
+    yt = np.asarray(yt)
+
+    agree_int8 = float((lab_psrp == lab_int8).mean())
+    agree_f32 = float((lab_psrp == lab_f32).mean())
+    acc_f32 = float((lab_f32 == yt).mean())
+    acc_psrp = float((lab_psrp == yt).mean())
+    print(
+        f"ON-CHIP psrp-vs-int8 argmax agreement: {agree_int8:.4%}\n"
+        f"ON-CHIP psrp-vs-fp32 argmax agreement: {agree_f32:.4%}\n"
+        f"pixel acc vs labels: fp32 {acc_f32:.4%}  psrp {acc_psrp:.4%}",
+        flush=True,
+    )
+
+
+if __name__ == "__main__":
+    main(int(sys.argv[1]) if len(sys.argv) > 1 else 30)

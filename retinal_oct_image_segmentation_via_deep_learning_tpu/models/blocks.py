@@ -175,8 +175,46 @@ class ConvTranspose(nn.Module):
         return y
 
 
+class _FusedTrainBN(nn.Module):
+    """Train-mode BatchNorm over ``ops.fused_bn.bn_train`` (one-pass Pallas
+    stats + hand-written VJP — see that module). Variable tree is identical
+    to ``nn.BatchNorm`` (params scale/bias, batch_stats mean/var) so
+    checkpoints and importers are unaffected."""
+
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x):
+        import jax
+
+        from ..ops.fused_bn import bn_train
+
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        ra_mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros(c, jnp.float32)
+        )
+        ra_var = self.variable(
+            "batch_stats", "var", lambda: jnp.ones(c, jnp.float32)
+        )
+        y, mean, var = bn_train(x, scale, bias)
+        if not self.is_initializing():
+            mean = jax.lax.stop_gradient(mean)
+            var = jax.lax.stop_gradient(var)
+            ra_mean.value = 0.9 * ra_mean.value + 0.1 * mean
+            ra_var.value = 0.9 * ra_var.value + 0.1 * var
+        return y
+
+
 class BatchNorm(nn.Module):
-    """Torch-default BatchNorm2d (eps 1e-5, momentum 0.1) on NHWC."""
+    """Torch-default BatchNorm2d (eps 1e-5, momentum 0.1) on NHWC.
+
+    Train mode routes through the fused one-pass Pallas BN
+    (``ops/fused_bn.py``; round-2 traces put XLA's BN statistics +
+    normalize traffic at ~170 of 291 ms/step) unless ``OCTSEG_FUSED_BN=0``.
+    Eval mode keeps ``nn.BatchNorm`` exactly.
+    """
 
     use_running_average: bool = True
     dtype: Any = None
@@ -188,11 +226,14 @@ class BatchNorm(nn.Module):
             if use_running_average is None
             else use_running_average
         )
+        if not ura and _os.environ.get("OCTSEG_FUSED_BN", "1") != "0":
+            return _FusedTrainBN(dtype=self.dtype, name="BatchNorm_0")(x)
         return nn.BatchNorm(
             use_running_average=ura,
             momentum=0.9,
             epsilon=1e-5,
             dtype=self.dtype,
+            name="BatchNorm_0",
         )(x)
 
 

@@ -1,0 +1,145 @@
+"""Fused training BatchNorm: one-pass Pallas stats + hand-written VJP.
+
+Round-2 training traces (docs/ROADMAP.md): the 512^2 U-Net train step
+spends ~170 of 291 ms in BN statistics + normalize traffic — XLA
+materializes the bf16->fp32 converts feeding each reduction, runs mean and
+variance as separate passes, and rematerializes stat chains in the
+backward. This module replaces the train-mode path of every BatchNorm
+with:
+
+* ``_stats``: ONE Pallas pass over x producing per-channel (sum, sum_sq)
+  partials with fp32 VMEM accumulators (bf16 read once; XLA's path read it
+  several times in fp32);
+* normalize as a single fused elementwise op (scale/shift precomputed per
+  channel in fp32);
+* ``jax.custom_vjp`` backward: one Pallas pass over (dy, x) producing the
+  (sum dy, sum dy*x_hat) channel reductions, then one fused elementwise
+  pass for dx — instead of XLA's re-derived stat chains.
+
+Semantics match ``flax.linen.BatchNorm`` (biased batch variance, fp32
+statistics, eps inside the sqrt) to float tolerance; running-stat updates
+stay in the caller (models/blocks.BatchNorm) with flax momentum semantics.
+CPU/interpret fallback uses the identical math in plain XLA, so tests
+exercise the same code path everywhere.
+
+Reference provenance: the reference trains with torch/Keras default
+BatchNorm (e.g. `/root/reference/SOTAS/Lesions_Segment/ReLayNet_2017.py:158`);
+this is TPU-native training machinery with no reference counterpart.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _pick_th(h: int) -> int:
+    for th in (16, 8, 4, 2, 1):
+        if h % th == 0:
+            return th
+    return 1
+
+
+def _sum_kernel(two_inputs: bool):
+    if two_inputs:
+        def kernel(a_ref, b_ref, o_ref):
+            a = a_ref[0].astype(jnp.float32)
+            b = b_ref[0].astype(jnp.float32)
+            o_ref[0, 0, 0] = jnp.sum(a, axis=(0, 1))
+            o_ref[0, 0, 1] = jnp.sum(a * b, axis=(0, 1))
+        return kernel
+
+    def kernel(x_ref, o_ref):
+        x = x_ref[0].astype(jnp.float32)
+        o_ref[0, 0, 0] = jnp.sum(x, axis=(0, 1))
+        o_ref[0, 0, 1] = jnp.sum(x * x, axis=(0, 1))
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def _pallas_pair_sums(a, b=None, interpret: bool = False):
+    """(N, H, W, C) -> (2, C) fp32: [sum a, sum a*a] (or [sum a, sum a*b])."""
+    N, H, W, C = a.shape
+    th = _pick_th(H)
+    S = H // th
+    ops = (a,) if b is None else (a, b)
+    specs = [
+        pl.BlockSpec((1, th, W, C), lambda n, s: (n, s, 0, 0),
+                     memory_space=pltpu.VMEM)
+    ] * len(ops)
+    partials = pl.pallas_call(
+        _sum_kernel(b is not None),
+        grid=(N, S),
+        in_specs=specs,
+        out_specs=pl.BlockSpec((1, 1, 2, C), lambda n, s: (n, s, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((N, S, 2, C), jnp.float32),
+        interpret=interpret,
+    )(*ops)
+    return jnp.sum(partials, axis=(0, 1))
+
+
+def _pair_sums(a, b=None):
+    if jax.default_backend() == "tpu":
+        return _pallas_pair_sums(a, b)
+    af = a.astype(jnp.float32)
+    s0 = jnp.sum(af, axis=(0, 1, 2))
+    s1 = jnp.sum(af * af if b is None else af * b.astype(jnp.float32),
+                 axis=(0, 1, 2))
+    return jnp.stack([s0, s1])
+
+
+EPS = 1e-5
+
+
+@jax.custom_vjp
+def bn_train(x, gamma, beta):
+    """Train-mode BN: returns (y, batch_mean, batch_var) — flax semantics
+    (fp32 biased stats, y cast back to x.dtype). mean/var outputs are for
+    running-stat updates and carry no gradient."""
+    y, mean, var, _ = _bn_fwd_impl(x, gamma, beta)
+    return y, mean, var
+
+
+def _bn_fwd_impl(x, gamma, beta):
+    m = x.shape[0] * x.shape[1] * x.shape[2]
+    sums = _pair_sums(x)
+    mean = sums[0] / m
+    var = jnp.maximum(sums[1] / m - mean * mean, 0.0)
+    inv = jax.lax.rsqrt(var + EPS)
+    scale = gamma.astype(jnp.float32) * inv
+    shift = beta.astype(jnp.float32) - mean * scale
+    y = (x.astype(jnp.float32) * scale + shift).astype(x.dtype)
+    return y, mean, var, inv
+
+
+def _bn_fwd(x, gamma, beta):
+    y, mean, var, inv = _bn_fwd_impl(x, gamma, beta)
+    return (y, mean, var), (x, mean, inv, gamma)
+
+
+def _bn_bwd(res, cts):
+    dy, _dmean, _dvar = cts  # stat outputs feed stop-gradient updates
+    x, mean, inv, gamma = res
+    m = x.shape[0] * x.shape[1] * x.shape[2]
+    # one fused pass: [sum dy, sum dy * x]; dy*x_hat derived per channel
+    sums = _pair_sums(dy, x)
+    dbeta = sums[0]
+    dgamma = (sums[1] - mean * dbeta) * inv
+    g = gamma.astype(jnp.float32) * inv
+    # dx = g * (dy - (x_hat * dgamma + dbeta)/m); x_hat = (x - mean) * inv
+    c1 = g * dgamma * inv / m
+    c0 = g * (dbeta + dgamma * inv * (-mean)) / m
+    dx = (
+        dy.astype(jnp.float32) * g
+        - x.astype(jnp.float32) * c1
+        - c0
+    ).astype(x.dtype)
+    return dx, dgamma.astype(gamma.dtype), dbeta.astype(gamma.dtype)
+
+
+bn_train.defvjp(_bn_fwd, _bn_bwd)
