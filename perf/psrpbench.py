@@ -40,11 +40,15 @@ def probe(name, H, W, by, nph, cins, cout, tg, pool=False):
 
     rng = np.random.default_rng(0)
     G, W2 = H // by, W // nph
+    # generate inputs ON DEVICE: host-side GB arrays + tunnel transfers
+    # stalled for 49 min in the first attempt (round-3 lesson)
     ps = tuple(
-        jnp.asarray(
-            rng.integers(-100, 100, (BATCH, G, nph, W2, by * c)), jnp.int8
-        )
-        for c in cins
+        jax.jit(
+            lambda k, c=c: jax.random.randint(
+                k, (BATCH, G, nph, W2, by * c), -100, 100, jnp.int8
+            )
+        )(jax.random.PRNGKey(17 + i))
+        for i, c in enumerate(cins)
     )
     mats, _ = pack_psrp_weights(
         rng.integers(-20, 20, (3, 3, sum(cins), cout)).astype(np.int8),

@@ -122,37 +122,52 @@ def find_contours(array, level: float = 0.5) -> list[np.ndarray]:
     """
     arr = np.asarray(array, dtype=np.float64)
     segs = _cell_segments(arr, level)
-    # head-point -> segment index, for forward walking
-    starts: dict[tuple, int] = {}
-    for i, (a, b) in enumerate(segs):
-        starts.setdefault(a, i)
-    ends: dict[tuple, int] = {}
-    for i, (a, b) in enumerate(segs):
-        ends.setdefault(b, i)
+    n = len(segs)
+    if n == 0:
+        return []
+    pts = np.asarray(segs, dtype=np.float64)  # (n, 2 start/end, 2 r/c)
+    key_dt = np.dtype([("r", np.float64), ("c", np.float64)])
+    start_k = np.ascontiguousarray(pts[:, 0]).view(key_dt).reshape(n)
+    end_k = np.ascontiguousarray(pts[:, 1]).view(key_dt).reshape(n)
 
-    used = [False] * len(segs)
+    def first_match(keys, queries):
+        """queries[i] -> smallest j with keys[j] == queries[i], else -1
+        (vectorized equivalent of dict.setdefault-then-get: stable sort
+        keeps the lowest original index leftmost among equal keys)."""
+        order = np.argsort(keys, kind="stable")
+        skeys = keys[order]
+        pos = np.searchsorted(skeys, queries)
+        posc = np.clip(pos, 0, n - 1)
+        out = np.where(
+            (pos < n) & (skeys[posc] == queries), order[posc], -1
+        )
+        return out
+
+    succ = first_match(start_k, end_k)  # segment whose start == my end
+    pred = first_match(end_k, start_k)  # segment whose end == my start
+
+    used = np.zeros(n, dtype=bool)
     contours = []
-    for i in range(len(segs)):
+    for i in range(n):
         if used[i]:
             continue
-        a, b = segs[i]
         used[i] = True
-        chain = [a, b]
-        # forward: extend while a segment starts at the current tail
-        while True:
-            j = starts.get(chain[-1])
-            if j is None or used[j]:
-                break
+        fwd = [i]
+        j = succ[i]
+        while j >= 0 and not used[j]:
             used[j] = True
-            chain.append(segs[j][1])
-        # backward: extend while a segment ends at the current head
-        while True:
-            j = ends.get(chain[0])
-            if j is None or used[j]:
-                break
+            fwd.append(j)
+            j = succ[j]
+        bwd = []
+        j = pred[i]
+        while j >= 0 and not used[j]:
             used[j] = True
-            chain.insert(0, segs[j][0])
-        contours.append(np.asarray(chain, dtype=np.float64))
+            bwd.append(j)
+            j = pred[j]
+        idx = np.asarray(bwd[::-1] + fwd)
+        # chain points: every segment's start + the final segment's end
+        chain = np.concatenate([pts[idx, 0], pts[idx[-1:], 1]])
+        contours.append(chain)
     return contours
 
 

@@ -87,11 +87,11 @@ def _train_torch(model, train, val):
     return _macro_dice(pred, yv)
 
 
-def _train_flax(variables, train, val):
+def _train_flax(variables, train, val, features=None):
     import optax
 
     (xt, yt), (xv, yv) = train, val
-    model = UNet(out_channels=NC, init_features=FEATURES,
+    model = UNet(out_channels=NC, init_features=features or FEATURES,
                  dtype=jnp.float32)
     tx = optax.adam(LR)
     params = variables["params"]
