@@ -21,6 +21,8 @@ import jax.numpy as jnp
 
 BATCH = int(os.environ.get("OCTSEG_BENCH_BATCH", "128"))
 SIZE = 512
+# secondary serving config (VERDICT r2 item 5): OCTSEG_BENCH_F=16
+F = int(os.environ.get("OCTSEG_BENCH_F", "32"))
 SHORT, LONG = 2, 22
 
 VARIANTS = ("int8", "mixed-bf16-pallas", "mixed-bf16-xla",
@@ -38,7 +40,7 @@ def build(variant):
     )
     from retinal_oct_image_segmentation_via_deep_learning_tpu.models.unet import UNet
 
-    model = UNet(out_channels=10, init_features=32, dtype=jnp.bfloat16)
+    model = UNet(out_channels=10, init_features=F, dtype=jnp.bfloat16)
     variables = model.init(
         jax.random.PRNGKey(0), jnp.zeros((1, SIZE, SIZE, 1), jnp.bfloat16)
     )
@@ -56,6 +58,7 @@ def build(variant):
             unet_packed_forward,
         )
 
+        assert F == 32, "packed path assumes f=32"
         qp = quantize_unet_packed(layers, taps)
         fwd = None
     elif variant.startswith("psrp"):
@@ -64,6 +67,7 @@ def build(variant):
             unet_psrp_forward,
         )
 
+        assert F == 32, "PSRP stage table assumes f=32"
         qp = quantize_unet_psrp(layers, taps)
         tg = int(variant.split(":tg=")[1]) if ":tg=" in variant else 8
         fwd = partial(unet_psrp_forward, num_classes=10, tg=tg)
