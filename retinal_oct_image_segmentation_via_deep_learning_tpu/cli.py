@@ -143,13 +143,21 @@ def cmd_infer(args):
             unet_int8_forward,
             unet_packed_forward,
         )
+        from .inference.psrp import quantize_unet_psrp, unet_psrp_forward
 
         variables = {"params": state.params,
                      "batch_stats": state.batch_stats}
         layers = fold_unet_bn(variables)
         xs = trainer._preprocess(images).astype(jnp.float32)
         taps = calibrate_unet(layers, [xs[: min(4, xs.shape[0])]])
-        if args.quantize == "packed":
+        if args.quantize == "psrp":
+            qp = jax.tree.map(
+                jnp.asarray, quantize_unet_psrp(layers, taps)
+            )
+            preds = unet_psrp_forward(
+                qp, xs, cfg.model.num_classes
+            ).astype(jnp.int32)
+        elif args.quantize == "packed":
             qp = jax.tree.map(
                 jnp.asarray, quantize_unet_packed(layers, taps)
             )
@@ -331,7 +339,8 @@ def main(argv=None):
     i.add_argument("--out-dir", default="./inference_out")
     i.add_argument("--export-probs", action="store_true")
     i.add_argument(
-        "--quantize", choices=("off", "int8", "packed"), default="off",
+        "--quantize", choices=("off", "int8", "packed", "psrp"),
+        default="off",
         help="int8 PTQ serving paths (unet): XLA int8 or the row-packed "
              "Pallas graph (TPU; interpret-mode elsewhere)",
     )

@@ -2,6 +2,10 @@ from .packed import (  # noqa: F401
     quantize_unet_packed,
     unet_packed_forward,
 )
+from .psrp import (  # noqa: F401
+    quantize_unet_psrp,
+    unet_psrp_forward,
+)
 from .quantized import (  # noqa: F401
     calibrate_unet,
     fold_unet_bn,
