@@ -69,7 +69,7 @@ def build(variant):
 
         assert F == 32, "PSRP stage table assumes f=32"
         qp = quantize_unet_psrp(layers, taps)
-        tg = int(variant.split(":tg=")[1]) if ":tg=" in variant else 8
+        tg = int(variant.split(":tg=")[1]) if ":tg=" in variant else None
         fwd = partial(unet_psrp_forward, num_classes=10, tg=tg)
     else:
         qp = quantize_unet_mixed(layers, taps)

@@ -71,6 +71,21 @@ PSRP_STAGES = {
     "blk8_conv1": (4, 4, (32,)),
 }
 
+# Per-stage G-tile defaults from the round-3 on-chip sweep
+# (perf/psrpbench.py); ct/head tiles keyed separately.
+STAGE_TG = {
+    "blk0_conv1": 16,
+    "blk1_conv0": 16,
+    "blk1_conv1": 16,
+    "blk7_conv0": 16,
+    "blk7_conv1": 16,
+    "blk8_conv0": 16,
+    "blk8_conv1": 16,
+    "ct2": 8,
+    "ct3": 8,
+    "head": 8,
+}
+
 
 def _quant_w(w):
     s_w = np.max(np.abs(w), axis=(0, 1, 2)) / 127.0
@@ -127,8 +142,19 @@ def quantize_unet_psrp(layers, taps, init_features: int = 32):
     return q
 
 
-def unet_psrp_forward(qparams, x, num_classes: int, tg: int = 8):
-    """x: (N, H, W, 1) fp32/bf16 -> (N, H, W) int8 argmax labels."""
+def unet_psrp_forward(qparams, x, num_classes: int, tg=None):
+    """x: (N, H, W, 1) fp32/bf16 -> (N, H, W) int8 argmax labels.
+
+    ``tg`` is the Pallas G-tile (rows of by-packed groups per VMEM block):
+    an int applies globally, a mapping overrides per stage, None uses the
+    swept per-stage defaults (``STAGE_TG``).
+    """
+    if tg is None:
+        tgs = dict(STAGE_TG)
+    elif isinstance(tg, int):
+        tgs = {k: tg for k in STAGE_TG}
+    else:
+        tgs = {**STAGE_TG, **tg}
     s = qparams["_act_scales"]
     N, H, W, _ = x.shape
     interp = jax.default_backend() != "tpu"  # CPU tests: interpret mode
@@ -150,7 +176,8 @@ def unet_psrp_forward(qparams, x, num_classes: int, tg: int = 8):
         scale, bias = eff(name, in_key, out_key)
         return conv3x3_psrp(
             tuple(inputs), qparams[name]["w_psrp"], scale, bias,
-            by=by, nph=nph, cins=cins, tg=tg, pool=pool, interpret=interp,
+            by=by, nph=nph, cins=cins, tg=tgs[name], pool=pool,
+            interpret=interp,
         )
 
     enc0, h = pconv([h], "blk0_conv1", "blk0_conv1_in", "blk1_conv0_in",
@@ -208,19 +235,19 @@ def unet_psrp_forward(qparams, x, num_classes: int, tg: int = 8):
     # --- PSRP decoder ---
     sc = s["ct2_in"] * qparams["ct2"]["s_w"] / s["blk7_cat"]
     b = qparams["ct2"]["b"] / s["blk7_cat"]
-    up = ct_up_psrp(hq, qparams["ct2"]["w_ct"], sc, b, tr=tg,
+    up = ct_up_psrp(hq, qparams["ct2"]["w_ct"], sc, b, tr=tgs["ct2"],
                     interpret=interp)
     h = pconv([up, enc1], "blk7_conv0", "blk7_cat", "blk7_conv1_in")
     h = pconv([h], "blk7_conv1", "blk7_conv1_in", "ct3_in")
     sc = s["ct3_in"] * qparams["ct3"]["s_w"] / s["blk8_cat"]
     b = qparams["ct3"]["b"] / s["blk8_cat"]
     up = ct_psrp(h, qparams["ct3"]["w_ct"], sc, b, by_in=2, nph_in=2,
-                 tg=tg, interpret=interp)
+                 tg=tgs["ct3"], interpret=interp)
     h = pconv([up, enc0], "blk8_conv0", "blk8_cat", "blk8_conv1_in")
     h = pconv([h], "blk8_conv1", "blk8_conv1_in", "head_in")
 
     lw = qparams["head"]
     return head_argmax_psrp(
         h, lw["w_head"], s["head_in"] * lw["s_w"], lw["b"], by=4, nph=4,
-        nc=num_classes, tg=tg, interpret=interp,
+        nc=num_classes, tg=tgs["head"], interpret=interp,
     )
