@@ -3,11 +3,14 @@
 North star (BASELINE.json): >=5000 512x512 B-scans/sec/chip U-Net inference
 on TPU v5e. Prints ONE JSON line.
 
-Serving path: int8 post-training quantization (inference/quantized.py) —
-BN folded, per-channel int8 weights, int8 activations end-to-end; accuracy
-contract (>=98% argmax agreement vs fp32, tested in tests/test_quantized.py).
-Exact-bf16 path measured 1228 scans/s (see docs/PERF.md for the ladder and
-methodology).
+Serving path: the phase-split row-packed (PSRP) full-Pallas int8 graph
+(inference/psrp.py) — BN folded, per-channel int8 weights, int8
+activations end-to-end, W-phases as explicit major dims so transpose
+convs/pools/concats need no relayout copies, per-stage swept VMEM tiles.
+Accuracy contract: >=99.5% on-chip argmax agreement vs the all-XLA int8
+graph and >=95% vs fp32 on a trained checkpoint (perf/psrp_accuracy.py;
+interpret-mode parity in tests/test_psrp_forward.py). Ladder: exact bf16
+1228 -> all-XLA int8 1563 -> PSRP 1935 scans/s (docs/PERF.md).
 
 Methodology: the whole measurement runs *on device* as a single dispatch —
 ``lax.scan`` over N batches of on-device-generated inputs, reduced to one
@@ -31,18 +34,21 @@ import jax.numpy as jnp
 BASELINE_SCANS_PER_SEC = 5000.0
 BATCH = 128  # A/B'd in perf/abench.py: 32->417, 64->686, 128->1143, 256->1161
 SIZE = 512
+NUM_CLASSES = 10
 
 
 def _build():
+    from retinal_oct_image_segmentation_via_deep_learning_tpu.inference.psrp import (
+        quantize_unet_psrp,
+        unet_psrp_forward,
+    )
     from retinal_oct_image_segmentation_via_deep_learning_tpu.inference.quantized import (
         calibrate_unet,
         fold_unet_bn,
-        quantize_unet,
-        unet_int8_forward,
     )
     from retinal_oct_image_segmentation_via_deep_learning_tpu.models.unet import UNet
 
-    model = UNet(out_channels=10, init_features=32, dtype=jnp.bfloat16)
+    model = UNet(out_channels=NUM_CLASSES, init_features=32, dtype=jnp.bfloat16)
     key = jax.random.PRNGKey(0)
     variables = model.init(key, jnp.zeros((1, SIZE, SIZE, 1), jnp.bfloat16))
     layers = fold_unet_bn(variables)
@@ -50,7 +56,7 @@ def _build():
         (2, SIZE, SIZE, 1)
     ).astype(np.float32)
     qparams = jax.tree.map(
-        jnp.asarray, quantize_unet(layers, calibrate_unet(layers, [calib]))
+        jnp.asarray, quantize_unet_psrp(layers, calibrate_unet(layers, [calib]))
     )
 
     @partial(jax.jit, static_argnums=2)
@@ -59,8 +65,7 @@ def _build():
             # cheap on-device input generation (bit-twiddled uniform)
             x = jax.random.bits(k, (BATCH, SIZE, SIZE, 1), jnp.uint16)
             x = (x.astype(jnp.float32) / 65536.0) - 0.5
-            logits = unet_int8_forward(qparams, x)
-            lab = jnp.argmax(logits, axis=-1)
+            lab = unet_psrp_forward(qparams, x, NUM_CLASSES)
             return carry + jnp.sum(lab, dtype=jnp.int32), None
 
         keys = jax.random.split(key, iters)
@@ -91,7 +96,7 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "unet_512x512_infer_int8_ptq",
+                "metric": "unet_512x512_infer_int8_psrp",
                 "value": round(scans_per_sec, 2),
                 "unit": "B-scans/sec/chip",
                 "vs_baseline": round(scans_per_sec / BASELINE_SCANS_PER_SEC, 4),
