@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 
 SIZE = 512
-BATCH = 32
+BATCH = int(os.environ.get("OCTSEG_BENCH_BATCH", "32"))
 
 
 def main():

@@ -62,32 +62,59 @@ def _sum_kernel(two_inputs: bool):
 
 @partial(jax.jit, static_argnames=("interpret",))
 def _pallas_pair_sums(a, b=None, interpret: bool = False):
-    """(N, H, W, C) -> (2, C) fp32: [sum a, sum a*a] (or [sum a, sum a*b])."""
+    """(N, H, W, C) -> (2, C) fp32: [sum a, sum a*a] (or [sum a, sum a*b]).
+
+    Pallas operands take the DEFAULT (8,128)-tiled layout, which lane-pads
+    C<128 tensors 4x/2x — at 512^2 b32 that alone OOMs HBM (21.9G measured).
+    For C<128 the operands are therefore viewed lane-dense as
+    (N, H, W/R, R*C) with R = 128//C (pure relayout, no padding); the
+    kernel's per-block (2, R*C) partials are folded back to C afterwards.
+    """
     N, H, W, C = a.shape
+    R = max(128 // C, 1) if C < 128 and W % (128 // C) == 0 else 1
+    Wd, Cd = W // R, R * C
     th = _pick_th(H)
     S = H // th
     ops = (a,) if b is None else (a, b)
+    if R > 1:
+        ops = tuple(o.reshape(N, H, Wd, Cd) for o in ops)
     specs = [
-        pl.BlockSpec((1, th, W, C), lambda n, s: (n, s, 0, 0),
+        pl.BlockSpec((1, th, Wd, Cd), lambda n, s: (n, s, 0, 0),
                      memory_space=pltpu.VMEM)
     ] * len(ops)
     partials = pl.pallas_call(
         _sum_kernel(b is not None),
         grid=(N, S),
         in_specs=specs,
-        out_specs=pl.BlockSpec((1, 1, 2, C), lambda n, s: (n, s, 0, 0),
+        out_specs=pl.BlockSpec((1, 1, 2, Cd), lambda n, s: (n, s, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((N, S, 2, C), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((N, S, 2, Cd), jnp.float32),
         interpret=interpret,
     )(*ops)
-    return jnp.sum(partials, axis=(0, 1))
+    sums = jnp.sum(partials, axis=(0, 1))
+    if R > 1:
+        sums = jnp.sum(sums.reshape(2, R, C), axis=1)
+    return sums
 
 
 def _pair_sums(a, b=None):
-    if jax.default_backend() == "tpu":
+    """One-pass per-channel [sum, sum-of-products] in fp32.
+
+    Default: plain XLA — the two reductions share the input and fuse into
+    ONE multi-output pass with the bf16->fp32 convert folded in, and impose
+    no layout constraint on the producing conv. The Pallas variant
+    (``OCTSEG_BN_STATS=pallas``) forces the default (8,128) layout on its
+    operand, which at C<128 costs a relayout copy (lane-dense reshape) and
+    pins neighbouring tensors into 4x lane-padded layouts — measured OOM
+    at 512^2 b32 (18.3-21.9G of 15.75G HBM).
+    """
+    import os as _os
+
+    if (jax.default_backend() == "tpu"
+            and _os.environ.get("OCTSEG_BN_STATS") == "pallas"):
         return _pallas_pair_sums(a, b)
+    s0 = jnp.sum(a, axis=(0, 1, 2), dtype=jnp.float32)
     af = a.astype(jnp.float32)
-    s0 = jnp.sum(af, axis=(0, 1, 2))
     s1 = jnp.sum(af * af if b is None else af * b.astype(jnp.float32),
                  axis=(0, 1, 2))
     return jnp.stack([s0, s1])
