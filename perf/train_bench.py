@@ -30,9 +30,11 @@ def main():
         make_train_step,
     )
 
+    kwargs = {"init_features": 32}
+    if os.environ.get("OCTSEG_BENCH_REMAT", "stage") == "stage":
+        kwargs["remat_stages"] = True
     cfg = TrainConfig(
-        model=ModelConfig(name="unet", num_classes=10,
-                          kwargs={"init_features": 32}),
+        model=ModelConfig(name="unet", num_classes=10, kwargs=kwargs),
         compute_dtype="bfloat16",
     )
     trainer = Trainer(cfg)

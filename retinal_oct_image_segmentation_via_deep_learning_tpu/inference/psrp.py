@@ -41,7 +41,12 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..ops.pallas_conv_int8 import conv3x3_int8, pack_weights
+from ..ops.pallas_conv_int8 import (
+    conv3x3_int8,
+    ct2x2_int8,
+    pack_ct2x2_weights,
+    pack_weights,
+)
 from ..ops.pallas_conv_psrp import (
     conv3x3_psrp,
     ct_psrp,
@@ -139,6 +144,8 @@ def quantize_unet_psrp(layers, taps, init_features: int = 32):
             lambda w: pack_ct_psrp_weights(w, by_in=2)
         )
         q[name]["w_ct"] = tuple(packer(q[name]["w_q"]))
+    for name in ("ct0", "ct1"):
+        q[name]["w_ct"] = tuple(pack_ct2x2_weights(q[name]["w_q"]))
     return q
 
 
@@ -189,8 +196,11 @@ def unet_psrp_forward(qparams, x, num_classes: int, tg=None):
     G, W2 = hp.shape[1], hp.shape[3]
     hq = hp.reshape(N, G, W2, hp.shape[-1])
 
-    # --- deep region: by=1 kernels with folded cat; reshape-lowered pools
-    # (reduce_window pins layouts and un-fuses neighbours — round-2 trace) ---
+    # --- deep region: by=1 kernels with folded cat; reshape-lowered pools.
+    # Pool lowerings A/B'd on-chip (perf/poolbench.py): XLA reshape-max 1.7
+    # ms isolated (+~1.6 of boundary relayout copies in-graph, from the s8
+    # reduce preferring batch-minor layouts); Pallas pool2x2_int8 5.1 (the
+    # sublane W-pair reshape lowers as shuffles); XLA strided-slice max 7.7.
     def _dpool(t):
         n, h, w, c = t.shape
         return jnp.max(t.reshape(n, h // 2, 2, w // 2, 2, c), axis=(2, 4))
@@ -223,8 +233,11 @@ def unet_psrp_forward(qparams, x, num_classes: int, tg=None):
     hs = s["ct0_in"]
     for ct, blk in ((0, 5), (1, 6)):
         cat_s = s[f"blk{blk}_cat"]
-        up = _qconv(hq, hs, qparams[f"ct{ct}"], cat_s, relu=False,
-                    transpose=True)
+        lw = qparams[f"ct{ct}"]
+        up = ct2x2_int8(
+            hq, lw["w_ct"], hs * lw["s_w"] / cat_s, lw["b"] / cat_s,
+            tr=8, interpret=interp,
+        )
         # skip feeds RAW — its requant is folded into the conv's weights
         hq = dconv((up, deep_enc[1 - ct]), f"blk{blk}_conv0",
                    f"blk{blk}_cat", f"blk{blk}_conv1_in")

@@ -52,31 +52,43 @@ class UNet(nn.Module):
     out_channels: int = 1
     init_features: int = 32
     apply_softmax: bool = False
+    # Per-stage rematerialization for training at large batch: each
+    # UNetBlock's internals (conv outs, BN pre-activations) are recomputed
+    # in the backward, so only stage-boundary tensors persist as residuals.
+    # A single whole-forward jax.checkpoint does NOT lower peak HBM (the
+    # recompute regenerates every residual at once before the backward
+    # consumes them); per-stage boundaries do — 512^2 b32 OOM'd 16G by
+    # ~255 MB without this, fits with it.
+    remat_stages: bool = False
     dtype: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         f = self.init_features
-        enc1 = UNetBlock(f, self.dtype)(x, train)
-        enc2 = UNetBlock(f * 2, self.dtype)(max_pool(enc1, 2), train)
-        enc3 = UNetBlock(f * 4, self.dtype)(max_pool(enc2, 2), train)
-        enc4 = UNetBlock(f * 8, self.dtype)(max_pool(enc3, 2), train)
-        bott = UNetBlock(f * 16, self.dtype)(max_pool(enc4, 2), train)
+        Block = (
+            nn.remat(UNetBlock, static_argnums=(2,))
+            if self.remat_stages else UNetBlock
+        )
+        enc1 = Block(f, self.dtype)(x, train)
+        enc2 = Block(f * 2, self.dtype)(max_pool(enc1, 2), train)
+        enc3 = Block(f * 4, self.dtype)(max_pool(enc2, 2), train)
+        enc4 = Block(f * 8, self.dtype)(max_pool(enc3, 2), train)
+        bott = Block(f * 16, self.dtype)(max_pool(enc4, 2), train)
 
         d = ConvTranspose(f * 8, 2, 2, dtype=self.dtype)(bott)
-        d = UNetBlock(f * 8, self.dtype)(
+        d = Block(f * 8, self.dtype)(
             jnp.concatenate([d, enc4], axis=-1), train
         )
         d = ConvTranspose(f * 4, 2, 2, dtype=self.dtype)(d)
-        d = UNetBlock(f * 4, self.dtype)(
+        d = Block(f * 4, self.dtype)(
             jnp.concatenate([d, enc3], axis=-1), train
         )
         d = ConvTranspose(f * 2, 2, 2, dtype=self.dtype)(d)
-        d = UNetBlock(f * 2, self.dtype)(
+        d = Block(f * 2, self.dtype)(
             jnp.concatenate([d, enc2], axis=-1), train
         )
         d = ConvTranspose(f, 2, 2, dtype=self.dtype)(d)
-        d = UNetBlock(f, self.dtype)(
+        d = Block(f, self.dtype)(
             jnp.concatenate([d, enc1], axis=-1), train
         )
         logits = Conv(self.out_channels, 1, 1, 0, dtype=self.dtype)(d)

@@ -231,6 +231,110 @@ def conv3x3_int8(x, w_packed, scale, bias, *, by=1, relu=True, out_int8=True,
     return out.reshape(N, H, W, cout)
 
 
+def pack_ct2x2_weights(w):
+    """(2, 2, cin, cout) -> 2 per-dy (cin, 2*cout) mats, lanes (dx, co).
+
+    The 2x2 stride-2 transpose conv is non-overlapping: every output pixel
+    (2i+dy, 2j+dx) is exactly ``x[i, j] @ w[dy, dx]`` (the lhs-dilated XLA
+    form reduces to this — flip and dilation cancel), so it lowers to two
+    full-width MXU dots with zero wasted FLOPs, dx packed into lanes.
+    """
+    kh, kw, _, _ = w.shape
+    assert (kh, kw) == (2, 2)
+    w = np.asarray(w)
+    return [
+        np.ascontiguousarray(np.concatenate([w[dy, 0], w[dy, 1]], axis=-1))
+        for dy in range(2)
+    ]
+
+
+def _ct2x2_kernel(tr, W, cout):
+    def kernel(x_ref, w0, w1, scale_ref, bias_ref, o_ref):
+        X = x_ref[0].reshape(tr * W, x_ref.shape[-1])
+        for dy, w_ref in ((0, w0), (1, w1)):
+            acc = jax.lax.dot_general(
+                X, w_ref[...], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+            y = acc.astype(jnp.float32) * scale_ref[0] + bias_ref[0]
+            y8 = jnp.clip(jnp.round(y), -127.0, 127.0).astype(jnp.int8)
+            o_ref[0, :, dy] = y8.reshape(tr, W, 2 * cout)
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("tr", "interpret"))
+def ct2x2_int8(xq, w_mats, scale, bias, *, tr=16, interpret=False):
+    """2x2 stride-2 int8 transpose conv + fused requant (no relu):
+    (N, H, W, cin) int8 -> (N, 2H, 2W, cout) int8.
+
+    Replaces the deep decoder's XLA lhs-dilated s32 conv + requant fusion +
+    two full-tensor relayout copies (~3.5 ms each at 512^2 b128, round-3
+    trace). The kernel emits (N, H, 2, W, 2*cout) with dy as a middle dim
+    and dx packed into lanes — in-kernel W interleaves (stack+reshape or
+    repeat+select) measured 1.8-3x slower than letting XLA's reshape do the
+    final (dx,co)->2W unpack (perf/ctbench.py). scale = s_in*s_w/s_out,
+    bias = b/s_out (as in inference/quantized._qconv with s_out).
+    """
+    N, H, W, cin = xq.shape
+    cout = w_mats[0].shape[1] // 2
+    tr = min(tr, H)
+    assert H % tr == 0
+    scale_p = jnp.tile(scale, 2)[None]
+    bias_p = jnp.tile(bias, 2)[None]
+    y = pl.pallas_call(
+        _ct2x2_kernel(tr, W, cout),
+        grid=(N, H // tr),
+        in_specs=[
+            pl.BlockSpec((1, tr, W, cin), lambda n, s: (n, s, 0, 0),
+                         memory_space=pltpu.VMEM)
+        ] + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
+        out_specs=pl.BlockSpec((1, tr, 2, W, 2 * cout),
+                               lambda n, s: (n, s, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((N, H, 2, W, 2 * cout), jnp.int8),
+        interpret=interpret,
+    )(xq, *w_mats, scale_p, bias_p)
+    return y.reshape(N, 2 * H, W, 2, cout).reshape(N, 2 * H, 2 * W, cout)
+
+
+def _pool2x2_kernel(th, W):
+    def kernel(x_ref, o_ref):
+        v = x_ref[0].astype(jnp.float32)  # (2*th, W, C) — int8 max illegal
+        v = jnp.max(v.reshape(th, 2, W, v.shape[-1]), axis=1)
+        # sublane pair-split reshape: legal on Mosaic as of jax 0.9
+        # (probe-verified exact; the round-2 rule against it is outdated)
+        v = jnp.max(v.reshape(th, W // 2, 2, v.shape[-1]), axis=2)
+        o_ref[0] = v.astype(jnp.int8)
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("th", "interpret"))
+def pool2x2_int8(xq, *, th=8, interpret=False):
+    """2x2 stride-2 max-pool on int8 NHWC, Pallas.
+
+    XLA's s8 reduce-max picks batch-minor layouts, sandwiching every deep
+    pool between two full-tensor relayout copies (~1 ms each at 128^2
+    x128ch b128, round-3 trace); this kernel keeps the default layout.
+    """
+    N, H, W, C = xq.shape
+    th = min(th, H // 2)
+    assert (H // 2) % th == 0 and W % 2 == 0
+    return pl.pallas_call(
+        _pool2x2_kernel(th, W),
+        grid=(N, H // 2 // th),
+        in_specs=[
+            pl.BlockSpec((1, 2 * th, W, C), lambda n, s: (n, s, 0, 0),
+                         memory_space=pltpu.VMEM)
+        ],
+        out_specs=pl.BlockSpec((1, th, W // 2, C), lambda n, s: (n, s, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((N, H // 2, W // 2, C), jnp.int8),
+        interpret=interpret,
+    )(xq)
+
+
 def conv3x3_int8_reference(x, w_packed, scale, bias, by=1, relu=True,
                            out_int8=True):
     """lax.conv equivalent for correctness checks."""

@@ -206,3 +206,36 @@ def test_head_argmax_psrp():
     ).reshape(2, H, W, nc)
     want = jnp.argmax(logits, axis=-1).astype(jnp.int8)
     assert jnp.array_equal(got, want)
+
+
+def test_ct2x2_int8_matches_lax():
+    from retinal_oct_image_segmentation_via_deep_learning_tpu.ops.pallas_conv_int8 import (
+        ct2x2_int8,
+        pack_ct2x2_weights,
+    )
+
+    cin, cout = 32, 16
+    H = W = 8
+    x = _rand_int8((2, H, W, cin))
+    w = np.asarray(RNG.integers(-20, 20, (2, 2, cin, cout)), np.int8)
+    scale = jnp.asarray(RNG.uniform(1e-3, 2e-3, (cout,)), jnp.float32)
+    bias = jnp.asarray(RNG.uniform(-3, 3, (cout,)), jnp.float32)
+    got = ct2x2_int8(
+        x, tuple(jnp.asarray(m) for m in pack_ct2x2_weights(w)),
+        scale, bias, tr=4, interpret=True,
+    )
+    want = _ref_ct(x, jnp.asarray(w), scale, bias)
+    assert got.shape == (2, 2 * H, 2 * W, cout)
+    assert jnp.array_equal(got, want)
+
+
+def test_pool2x2_int8_matches_reshape_max():
+    from retinal_oct_image_segmentation_via_deep_learning_tpu.ops.pallas_conv_int8 import (
+        pool2x2_int8,
+    )
+
+    x = _rand_int8((2, 16, 12, 32))
+    got = pool2x2_int8(x, th=4, interpret=True)
+    n, h, w, c = x.shape
+    want = jnp.max(x.reshape(n, h // 2, 2, w // 2, 2, c), axis=(2, 4))
+    assert jnp.array_equal(got, want)
