@@ -67,8 +67,7 @@ def build(variant):
             unet_psrp_forward,
         )
 
-        assert F == 32, "PSRP stage table assumes f=32"
-        qp = quantize_unet_psrp(layers, taps)
+        qp = quantize_unet_psrp(layers, taps, init_features=F)
         tg = int(variant.split(":tg=")[1]) if ":tg=" in variant else None
         fwd = partial(unet_psrp_forward, num_classes=10, tg=tg)
     else:

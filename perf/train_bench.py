@@ -31,8 +31,11 @@ def main():
     )
 
     kwargs = {"init_features": 32}
-    if os.environ.get("OCTSEG_BENCH_REMAT", "stage") == "stage":
+    remat = os.environ.get("OCTSEG_BENCH_REMAT", "stage")
+    if remat in ("stage", "policy"):
         kwargs["remat_stages"] = True
+    if remat == "policy":
+        kwargs["remat_policy"] = "conv_out"
     cfg = TrainConfig(
         model=ModelConfig(name="unet", num_classes=10, kwargs=kwargs),
         compute_dtype="bfloat16",
@@ -56,19 +59,31 @@ def main():
                 jax.random.PRNGKey(0), iters
             ),
         )
-        return total
+        # Return the final state so the donated input state can alias the
+        # output (returning only the scalar leaves every donated param/opt
+        # buffer "not usable" — ~375 MB of dead HBM at f=32, which was the
+        # entire b32 OOM margin).
+        return state, total
 
     from common import scan_diff
 
     def go(iters):
         # donate_argnums would consume state; keep a copy per call
-        float(run(jax.tree.map(lambda a: a + 0, state), iters))
+        out, total = run(jax.tree.map(lambda a: a + 0, state), iters)
+        del out
+        float(total)
 
     per_step = scan_diff(go, 2, 12, reps=2)
     print(
         f"train step: {per_step*1e3:.1f} ms/step @batch {BATCH} "
         f"-> {BATCH/per_step:.0f} scans/s training throughput"
     )
+
+    if os.environ.get("OCTSEG_TRACE"):
+        from trace_tools import capture, report
+
+        report(capture(lambda: go(4), "/tmp/octseg_trace_train"),
+               top=30, min_ms=1.0)
 
 
 if __name__ == "__main__":

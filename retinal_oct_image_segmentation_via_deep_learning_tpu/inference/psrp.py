@@ -55,10 +55,12 @@ from ..ops.pallas_conv_psrp import (
     pack_ct_psrp_weights,
     pack_ct_up_weights,
     pack_head_psrp_weights,
+    pack_psrp,
     pack_psrp_weights,
     pack_stem_psrp_weights,
     prep_stem_input,
     stem_psrp,
+    unpack_psrp,
 )
 from .quantized import DEEP_STAGES, _pick_th, _qconv, quantize_unet
 
@@ -76,6 +78,32 @@ PSRP_STAGES = {
     "blk8_conv1": (4, 4, (32,)),
 }
 
+# f=16 secondary serving config (~4x fewer FLOPs; see docs/PERF.md for the
+# Dice-delta evidence). by*cin stays 128 at the 512^2 stages (by=8) and the
+# band density IMPROVES to by/(by+2) = 80% vs f=32's 66.7%. The two layout
+# differences vs f=32 are at the deep boundary: the blk1 pool lands in
+# (by=2, nph=1) instead of plain NHWC (one cheap unpack copy at 128^2), and
+# ct2 consumes a (2, 1)-packed deep tensor via the generic ``ct_psrp``
+# instead of ``ct_up_psrp``.
+PSRP_STAGES_F16 = {
+    "blk0_conv1": (8, 4, (16,)),
+    "blk1_conv0": (4, 2, (16,)),
+    "blk1_conv1": (4, 2, (32,)),
+    "blk7_conv0": (4, 2, (32, 32)),
+    "blk7_conv1": (4, 2, (32,)),
+    "blk8_conv0": (8, 4, (16, 16)),
+    "blk8_conv1": (8, 4, (16,)),
+}
+
+
+def _psrp_config(f: int):
+    """(stage_table, stem by_out) for a supported init_features."""
+    if f == 32:
+        return PSRP_STAGES, 4
+    if f == 16:
+        return PSRP_STAGES_F16, 8
+    raise ValueError(f"PSRP serving supports f in (16, 32), got {f}")
+
 # Per-stage G-tile defaults from the round-3 on-chip sweep
 # (perf/psrpbench.py); ct/head tiles keyed separately.
 STAGE_TG = {
@@ -86,9 +114,10 @@ STAGE_TG = {
     "blk7_conv1": 16,
     "blk8_conv0": 16,
     "blk8_conv1": 16,
-    "ct2": 8,
-    "ct3": 8,
-    "head": 8,
+    "ct01": 8,   # deep ct2x2 kernels (tr)
+    "ct2": 32,   # ct_up_psrp (tr)
+    "ct3": 16,   # ct_psrp (tg)
+    "head": 16,
 }
 
 
@@ -101,7 +130,7 @@ def _quant_w(w):
 
 def quantize_unet_psrp(layers, taps, init_features: int = 32):
     """qparams for ``unet_psrp_forward`` (f=init_features U-Net)."""
-    assert init_features == 32, "PSRP stage table assumes f=32"
+    stage_table, _ = _psrp_config(init_features)
     q = quantize_unet(layers, taps, pallas=False)
     s = {k: np.float32(v) for k, v in q["_act_scales"].items()}
 
@@ -118,7 +147,7 @@ def quantize_unet_psrp(layers, taps, init_features: int = 32):
         "blk7_conv0": s["blk2_conv0_in"] / s["blk7_cat"],
         "blk8_conv0": s["blk1_conv0_in"] / s["blk8_cat"],
     }
-    for name, (by, nph, cins) in PSRP_STAGES.items():
+    for name, (by, nph, cins) in stage_table.items():
         w = layers[name]["w"].copy()
         if name in skip_scale:
             w[:, :, cins[0]:, :] *= skip_scale[name]
@@ -138,11 +167,15 @@ def quantize_unet_psrp(layers, taps, init_features: int = 32):
         q["blk0_conv0"]["w_q"], STEM_BY, NPH_STEM
     )
     q["blk0_conv0"]["w_stem"] = tuple(stem_mats)
-    q["head"]["w_head"] = pack_head_psrp_weights(q["head"]["w_q"], 4)
-    for name in ("ct2", "ct3"):
-        packer = pack_ct_up_weights if name == "ct2" else (
-            lambda w: pack_ct_psrp_weights(w, by_in=2)
-        )
+    by_full = stage_table["blk8_conv1"][0]
+    q["head"]["w_head"] = pack_head_psrp_weights(q["head"]["w_q"], by_full)
+    if init_features == 32:
+        ct_packers = {"ct2": pack_ct_up_weights,
+                      "ct3": lambda w: pack_ct_psrp_weights(w, by_in=2)}
+    else:  # f=16: both decoder ups run the generic ct_psrp kernel
+        ct_packers = {"ct2": lambda w: pack_ct_psrp_weights(w, by_in=2),
+                      "ct3": lambda w: pack_ct_psrp_weights(w, by_in=4)}
+    for name, packer in ct_packers.items():
         q[name]["w_ct"] = tuple(packer(q[name]["w_q"]))
     for name in ("ct0", "ct1"):
         q[name]["w_ct"] = tuple(pack_ct2x2_weights(q[name]["w_q"]))
@@ -162,8 +195,15 @@ def unet_psrp_forward(qparams, x, num_classes: int, tg=None):
         tgs = {k: tg for k in STAGE_TG}
     else:
         tgs = {**STAGE_TG, **tg}
+    import os as _os
+
+    for kv in filter(None, _os.environ.get("OCTSEG_PSRP_TG", "").split(",")):
+        k, _, v = kv.partition("=")
+        tgs[k] = int(v)  # on-chip sweep override (perf use only)
     s = qparams["_act_scales"]
     N, H, W, _ = x.shape
+    f = int(qparams["blk0_conv0"]["w_q"].shape[-1])
+    stage_table, by_stem_out = _psrp_config(f)
     interp = jax.default_backend() != "tpu"  # CPU tests: interpret mode
 
     def eff(name, in_key, out_key):
@@ -175,11 +215,11 @@ def unet_psrp_forward(qparams, x, num_classes: int, tg=None):
     sc, b = eff("blk0_conv0", "blk0_conv0_in", "blk0_conv1_in")
     h = stem_psrp(
         xp, qparams["blk0_conv0"]["w_stem"], sc, b,
-        BY=STEM_BY, by_out=4, nph=NPH_STEM, interpret=interp,
+        BY=STEM_BY, by_out=by_stem_out, nph=NPH_STEM, interpret=interp,
     )
 
     def pconv(inputs, name, in_key, out_key, pool=False):
-        by, nph, cins = PSRP_STAGES[name]
+        by, nph, cins = stage_table[name]
         scale, bias = eff(name, in_key, out_key)
         return conv3x3_psrp(
             tuple(inputs), qparams[name]["w_psrp"], scale, bias,
@@ -192,9 +232,15 @@ def unet_psrp_forward(qparams, x, num_classes: int, tg=None):
     h = pconv([h], "blk1_conv0", "blk1_conv0_in", "blk1_conv1_in")
     enc1, hp = pconv([h], "blk1_conv1", "blk1_conv1_in", "blk2_conv0_in",
                      pool=True)
-    # nph=2 pool lands in the plain deep layout
-    G, W2 = hp.shape[1], hp.shape[3]
-    hq = hp.reshape(N, G, W2, hp.shape[-1])
+    # f=32: the nph=2 pool lands (by=1, nph=1) = the plain deep layout via a
+    # free reshape; f=16 it lands (by=2, nph=1) — one cheap unpack copy of a
+    # 128^2 tensor.
+    by_deep = stage_table["blk1_conv1"][0] // 2
+    if by_deep == 1:
+        G, W2 = hp.shape[1], hp.shape[3]
+        hq = hp.reshape(N, G, W2, hp.shape[-1])
+    else:
+        hq = unpack_psrp(hp, by_deep, 1)
 
     # --- deep region: by=1 kernels with folded cat; reshape-lowered pools.
     # Pool lowerings A/B'd on-chip (perf/poolbench.py): XLA reshape-max 1.7
@@ -236,7 +282,7 @@ def unet_psrp_forward(qparams, x, num_classes: int, tg=None):
         lw = qparams[f"ct{ct}"]
         up = ct2x2_int8(
             hq, lw["w_ct"], hs * lw["s_w"] / cat_s, lw["b"] / cat_s,
-            tr=8, interpret=interp,
+            tr=tgs["ct01"], interpret=interp,
         )
         # skip feeds RAW — its requant is folded into the conv's weights
         hq = dconv((up, deep_enc[1 - ct]), f"blk{blk}_conv0",
@@ -248,19 +294,28 @@ def unet_psrp_forward(qparams, x, num_classes: int, tg=None):
     # --- PSRP decoder ---
     sc = s["ct2_in"] * qparams["ct2"]["s_w"] / s["blk7_cat"]
     b = qparams["ct2"]["b"] / s["blk7_cat"]
-    up = ct_up_psrp(hq, qparams["ct2"]["w_ct"], sc, b, tr=tgs["ct2"],
-                    interpret=interp)
+    if f == 32:
+        up = ct_up_psrp(hq, qparams["ct2"]["w_ct"], sc, b, tr=tgs["ct2"],
+                        interpret=interp)
+    else:
+        # deep (N, H, W, C) -> (by=2, nph=1) packed, then the generic
+        # PSRP transpose conv doubles it to (by=4, nph=2)
+        up = ct_psrp(pack_psrp(hq, 2, 1), qparams["ct2"]["w_ct"], sc, b,
+                     by_in=2, nph_in=1, tg=min(tgs["ct2"], 16),
+                     interpret=interp)
     h = pconv([up, enc1], "blk7_conv0", "blk7_cat", "blk7_conv1_in")
     h = pconv([h], "blk7_conv1", "blk7_conv1_in", "ct3_in")
     sc = s["ct3_in"] * qparams["ct3"]["s_w"] / s["blk8_cat"]
     b = qparams["ct3"]["b"] / s["blk8_cat"]
-    up = ct_psrp(h, qparams["ct3"]["w_ct"], sc, b, by_in=2, nph_in=2,
+    by3, nph3 = stage_table["blk7_conv1"][0], stage_table["blk7_conv1"][1]
+    up = ct_psrp(h, qparams["ct3"]["w_ct"], sc, b, by_in=by3, nph_in=nph3,
                  tg=tgs["ct3"], interpret=interp)
     h = pconv([up, enc0], "blk8_conv0", "blk8_cat", "blk8_conv1_in")
     h = pconv([h], "blk8_conv1", "blk8_conv1_in", "head_in")
 
     lw = qparams["head"]
+    by_h, nph_h = stage_table["blk8_conv1"][0], stage_table["blk8_conv1"][1]
     return head_argmax_psrp(
-        h, lw["w_head"], s["head_in"] * lw["s_w"], lw["b"], by=4, nph=4,
-        nc=num_classes, tg=tgs["head"], interpret=interp,
+        h, lw["w_head"], s["head_in"] * lw["s_w"], lw["b"], by=by_h,
+        nph=nph_h, nc=num_classes, tg=tgs["head"], interpret=interp,
     )

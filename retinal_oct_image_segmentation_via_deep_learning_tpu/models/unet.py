@@ -23,8 +23,10 @@ from __future__ import annotations
 
 from typing import Any
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
+from jax.ad_checkpoint import checkpoint_name
 
 from .blocks import BatchNorm, Conv, ConvTranspose
 from .ffc import FFC_BN_ACT, concat_stream
@@ -41,6 +43,10 @@ class UNetBlock(nn.Module):
     def __call__(self, x, train: bool = False):
         for _ in range(2):
             x = Conv(self.features, 3, 1, 1, use_bias=False, dtype=self.dtype)(x)
+            # Tag for UNet(remat_policy="conv_out"): under that policy the
+            # MXU work (convs) is saved as residuals while the BN/relu
+            # chains — the step's bandwidth bottleneck — are recomputed.
+            x = checkpoint_name(x, "conv_out")
             x = BatchNorm(dtype=self.dtype)(x, use_running_average=not train)
             x = nn.relu(x)
         return x
@@ -60,13 +66,26 @@ class UNet(nn.Module):
     # consumes them); per-stage boundaries do — 512^2 b32 OOM'd 16G by
     # ~255 MB without this, fits with it.
     remat_stages: bool = False
+    # remat_policy="conv_out" (with remat_stages): save each block's conv
+    # outputs (the MXU results) and recompute only the BN/relu elementwise
+    # chains in the backward — cheaper recompute than full-block remat at
+    # a modest residual-memory cost (bf16 conv outs only, ~1/3 of the
+    # no-remat residual set, which OOMs 16G at 512^2 b32).
+    remat_policy: str | None = None
     dtype: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         f = self.init_features
+        remat_kwargs = {}
+        if self.remat_policy == "conv_out":
+            remat_kwargs["policy"] = (
+                jax.checkpoint_policies.save_only_these_names("conv_out")
+            )
+        elif self.remat_policy is not None:
+            raise ValueError(f"unknown remat_policy {self.remat_policy!r}")
         Block = (
-            nn.remat(UNetBlock, static_argnums=(2,))
+            nn.remat(UNetBlock, static_argnums=(2,), **remat_kwargs)
             if self.remat_stages else UNetBlock
         )
         enc1 = Block(f, self.dtype)(x, train)

@@ -1,12 +1,14 @@
 """Full PSRP serving forward vs the all-int8 and fp32 graphs (interpret)."""
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
 
 
-def test_unet_psrp_forward_matches_int8():
+@pytest.mark.parametrize("f", [32, 16])
+def test_unet_psrp_forward_matches_int8(f):
     from retinal_oct_image_segmentation_via_deep_learning_tpu.inference.psrp import (
         quantize_unet_psrp,
         unet_psrp_forward,
@@ -22,14 +24,16 @@ def test_unet_psrp_forward_matches_int8():
         UNet,
     )
 
-    model = UNet(out_channels=10, init_features=32)
+    model = UNet(out_channels=10, init_features=f)
     v = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 1)))
     layers = fold_unet_bn(v)
     calib = np.random.default_rng(0).standard_normal(
         (2, 64, 64, 1)
     ).astype(np.float32)
     taps = calibrate_unet(layers, [calib])
-    qp = jax.tree.map(jnp.asarray, quantize_unet_psrp(layers, taps))
+    qp = jax.tree.map(
+        jnp.asarray, quantize_unet_psrp(layers, taps, init_features=f)
+    )
     x = jnp.asarray(
         np.random.default_rng(1).standard_normal((2, 64, 64, 1)),
         jnp.float32,
