@@ -96,9 +96,23 @@ PSRP_STAGES_F16 = {
 }
 
 
+# Doubled-(by, nph) f=32 table (OCTSEG_PSRP_DOUBLE=1 A/B): same (by, nph)
+# per stage as the f=16 table, so by*cin = 256 lanes at every psrp stage.
+# Band density rises from by/(by+2) = 66.7% -> 80% at 512^2 and 50% -> 66.7%
+# at 256^2 — the banded GEMMs do ~1.2x fewer wasted FLOPs.
+PSRP_STAGES_F32D = {
+    name: (by, nph, PSRP_STAGES[name][2])
+    for name, (by, nph, _) in PSRP_STAGES_F16.items()
+}
+
+
 def _psrp_config(f: int):
     """(stage_table, stem by_out) for a supported init_features."""
+    import os as _os
+
     if f == 32:
+        if _os.environ.get("OCTSEG_PSRP_DOUBLE"):
+            return PSRP_STAGES_F32D, 8
         return PSRP_STAGES, 4
     if f == 16:
         return PSRP_STAGES_F16, 8
@@ -169,12 +183,14 @@ def quantize_unet_psrp(layers, taps, init_features: int = 32):
     q["blk0_conv0"]["w_stem"] = tuple(stem_mats)
     by_full = stage_table["blk8_conv1"][0]
     q["head"]["w_head"] = pack_head_psrp_weights(q["head"]["w_q"], by_full)
-    if init_features == 32:
+    by3 = stage_table["blk7_conv1"][0]
+    if stage_table["blk1_conv1"][0] // 2 == 1:
+        # plain-NHWC deep boundary: ct2 runs the specialised NHWC->P(2,2) up
         ct_packers = {"ct2": pack_ct_up_weights,
-                      "ct3": lambda w: pack_ct_psrp_weights(w, by_in=2)}
-    else:  # f=16: both decoder ups run the generic ct_psrp kernel
+                      "ct3": lambda w: pack_ct_psrp_weights(w, by_in=by3)}
+    else:  # packed deep boundary: both decoder ups run the generic ct_psrp
         ct_packers = {"ct2": lambda w: pack_ct_psrp_weights(w, by_in=2),
-                      "ct3": lambda w: pack_ct_psrp_weights(w, by_in=4)}
+                      "ct3": lambda w: pack_ct_psrp_weights(w, by_in=by3)}
     for name, packer in ct_packers.items():
         q[name]["w_ct"] = tuple(packer(q[name]["w_q"]))
     for name in ("ct0", "ct1"):
@@ -294,7 +310,7 @@ def unet_psrp_forward(qparams, x, num_classes: int, tg=None):
     # --- PSRP decoder ---
     sc = s["ct2_in"] * qparams["ct2"]["s_w"] / s["blk7_cat"]
     b = qparams["ct2"]["b"] / s["blk7_cat"]
-    if f == 32:
+    if by_deep == 1:
         up = ct_up_psrp(hq, qparams["ct2"]["w_ct"], sc, b, tr=tgs["ct2"],
                         interpret=interp)
     else:

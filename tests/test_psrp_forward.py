@@ -7,8 +7,11 @@ import jax
 import jax.numpy as jnp
 
 
-@pytest.mark.parametrize("f", [32, 16])
-def test_unet_psrp_forward_matches_int8(f):
+@pytest.mark.parametrize("f", [32, 16, "32d"])
+def test_unet_psrp_forward_matches_int8(f, monkeypatch):
+    if f == "32d":  # doubled-(by, nph) f=32 layout (OCTSEG_PSRP_DOUBLE)
+        monkeypatch.setenv("OCTSEG_PSRP_DOUBLE", "1")
+        f = 32
     from retinal_oct_image_segmentation_via_deep_learning_tpu.inference.psrp import (
         quantize_unet_psrp,
         unet_psrp_forward,
