@@ -399,14 +399,29 @@ def _qconv(xq, s_in, layer, s_out, relu=True, transpose=False):
     """
     dn = ("NHWC", "HWIO", "NHWC")
     if transpose:
+        # k=2/s=2 non-overlapping transpose: each output row depends on
+        # exactly one input row (the other taps hit dilation zeros/pad), so
+        # it is a LOCAL op under spatial (H-shard) partitioning — same
+        # argument as the fp32 path (models/blocks.ConvTranspose).
         acc = jax.lax.conv_general_dilated(
             xq, jnp.flip(layer["w_q"], (0, 1)), (1, 1), [(1, 1), (1, 1)],
             lhs_dilation=(2, 2), dimension_numbers=dn,
             preferred_element_type=jnp.int32,
         )
     else:
+        # Spatial partitioning: exchange this conv's own padding rows with
+        # mesh neighbors (zeros at the global border == unsharded 'same'
+        # zero-padding), then convolve VALID in H — exact per-layer context
+        # parallelism for the int8 serving graph (parallel/halo.py).
+        from ..parallel.halo import current_spatial_axis, halo_exchange
+
+        pad = _same_pad(layer["w_q"])
+        axis = current_spatial_axis()
+        if axis is not None and pad[0][0] > 0:
+            xq = halo_exchange(xq, pad[0][0], axis_name=axis, edge="zero")
+            pad = [(0, 0), pad[1]]
         acc = jax.lax.conv_general_dilated(
-            xq, layer["w_q"], (1, 1), _same_pad(layer["w_q"]),
+            xq, layer["w_q"], (1, 1), pad,
             dimension_numbers=dn, preferred_element_type=jnp.int32,
         )
     scale = s_in * layer["s_w"]  # (co,) fp32
