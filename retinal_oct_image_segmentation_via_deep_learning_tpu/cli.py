@@ -132,6 +132,13 @@ def cmd_infer(args):
         state = trainer.init_state(images[:1])
         print("note: no --checkpoint given; using random init")
 
+    if getattr(args, "spatial", 1) > 1 and getattr(
+        args, "quantize", "off"
+    ) not in ("off", "int8"):
+        raise SystemExit(
+            "--spatial supports --quantize off|int8 (the packed/psrp "
+            "layouts shard over data, not space — see parallel/serving)"
+        )
     if getattr(args, "quantize", "off") != "off":
         if cfg.model.name != "unet":
             raise SystemExit("--quantize supports --model unet only")
@@ -152,7 +159,11 @@ def cmd_infer(args):
         taps = calibrate_unet(layers, [xs[: min(4, xs.shape[0])]])
         if args.quantize == "psrp":
             qp = jax.tree.map(
-                jnp.asarray, quantize_unet_psrp(layers, taps)
+                jnp.asarray,
+                quantize_unet_psrp(
+                    layers, taps,
+                    init_features=int(layers["blk0_conv0"]["w"].shape[-1]),
+                ),
             )
             preds = unet_psrp_forward(
                 qp, xs, cfg.model.num_classes
@@ -166,9 +177,33 @@ def cmd_infer(args):
             ).astype(jnp.int32)
         else:
             qp = jax.tree.map(jnp.asarray, quantize_unet(layers, taps))
-            preds = jnp.argmax(unet_int8_forward(qp, xs), axis=-1)
+            if getattr(args, "spatial", 1) > 1:
+                from .parallel.halo import spatial_shard_infer
+                from .parallel.mesh import create_mesh
+
+                mesh = create_mesh(data=1, space=args.spatial)
+                logits = spatial_shard_infer(
+                    lambda q, t: unet_int8_forward(q, t), qp, xs, mesh
+                )
+            else:
+                logits = unet_int8_forward(qp, xs)
+            preds = jnp.argmax(logits, axis=-1)
     else:
-        preds = trainer.predict(state, images)
+        if getattr(args, "spatial", 1) > 1:
+            from .parallel.halo import spatial_shard_infer
+            from .parallel.mesh import create_mesh
+
+            mesh = create_mesh(data=1, space=args.spatial)
+            variables = {"params": state.params}
+            if state.batch_stats is not None and state.batch_stats:
+                variables["batch_stats"] = state.batch_stats
+            logits = spatial_shard_infer(
+                lambda v, t: trainer.model.apply(v, t, train=False),
+                variables, trainer._preprocess(images), mesh,
+            )
+            preds = jnp.argmax(logits, axis=-1)
+        else:
+            preds = trainer.predict(state, images)
     os.makedirs(args.out_dir, exist_ok=True)
     import numpy as np_
 
@@ -290,6 +325,15 @@ def cmd_smoke(args):
 
 
 def main(argv=None):
+    import os as _os
+
+    if _os.environ.get("OCTSEG_PLATFORM"):
+        # Escape hatch for hosts whose site config pins JAX_PLATFORMS to a
+        # remote backend (jax.config wins over the env var when set before
+        # first backend use) — e.g. OCTSEG_PLATFORM=cpu for offline tests.
+        import jax as _jax
+
+        _jax.config.update("jax_platforms", _os.environ["OCTSEG_PLATFORM"])
     p = argparse.ArgumentParser(prog="octseg")
     sub = p.add_subparsers(dest="cmd", required=True)
 
@@ -338,6 +382,11 @@ def main(argv=None):
     i.add_argument("--checkpoint", default=None)
     i.add_argument("--out-dir", default="./inference_out")
     i.add_argument("--export-probs", action="store_true")
+    i.add_argument(
+        "--spatial", type=int, default=1,
+        help="shard B-scan height over an N-way space mesh (exact "
+             "halo-exchange inference; fp32 and int8 graphs)",
+    )
     i.add_argument(
         "--quantize", choices=("off", "int8", "packed", "psrp"),
         default="off",

@@ -212,3 +212,36 @@ def test_spatial_shard_int8_serving_exact(rng):
     )
     np.testing.assert_allclose(np.asarray(sharded), np.asarray(full),
                                atol=1e-5, rtol=1e-5)
+
+
+@pytest.mark.slow
+def test_spatial_shard_int8_512(rng):
+    """SP-int8 at production scale: a 512x512 B-scan through the quantized
+    serving graph, space=4, equals the single-device int8 forward."""
+    from retinal_oct_image_segmentation_via_deep_learning_tpu.inference.quantized import (
+        calibrate_unet,
+        fold_unet_bn,
+        quantize_unet,
+        unet_int8_forward,
+    )
+    from retinal_oct_image_segmentation_via_deep_learning_tpu.models.unet import (
+        UNet,
+    )
+    from retinal_oct_image_segmentation_via_deep_learning_tpu.parallel.halo import (
+        spatial_shard_infer,
+    )
+
+    model = UNet(out_channels=6, init_features=8)
+    x = jnp.asarray(rng.standard_normal((1, 512, 512, 1)).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(0), x[:, :64, :64])
+    layers = fold_unet_bn(variables)
+    taps = calibrate_unet(layers, [np.asarray(x[:, :128, :128])])
+    qp = jax.tree.map(jnp.asarray, quantize_unet(layers, taps))
+
+    full = unet_int8_forward(qp, x)
+    mesh = create_mesh(data=1, space=4)  # 128-row shards
+    sharded = spatial_shard_infer(
+        lambda v, t: unet_int8_forward(v, t), qp, x, mesh
+    )
+    np.testing.assert_allclose(np.asarray(sharded), np.asarray(full),
+                               atol=1e-5, rtol=1e-5)
