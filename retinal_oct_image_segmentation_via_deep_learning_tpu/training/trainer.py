@@ -161,8 +161,15 @@ class Trainer:
             t0 = time.perf_counter()
             train_loss = 0.0
             nsteps = 0
-            for images, labels in train_ds.epoch(epoch):
-                images, labels = self._shard(images, labels)
+            # Double-buffered ingest: preprocess + DP device_put of batch
+            # k+1 overlaps the step on batch k (training/input_pipeline.py).
+            from .input_pipeline import prefetch_to_device
+
+            batches = prefetch_to_device(
+                train_ds.epoch(epoch),
+                transform=lambda b: self._shard(*b),
+            )
+            for images, labels in batches:
                 state, loss = train_step(state, images, labels)
                 train_loss += float(loss)
                 nsteps += 1
