@@ -154,29 +154,34 @@ def cmd_infer(args):
 
         variables = {"params": state.params,
                      "batch_stats": state.batch_stats}
-        layers = fold_unet_bn(variables)
         xs = trainer._preprocess(images).astype(jnp.float32)
-        taps = calibrate_unet(layers, [xs[: min(4, xs.shape[0])]])
+        if getattr(args, "load_quantized", None):
+            from .inference.artifacts import load_qparams
+
+            qp_loaded = load_qparams(args.load_quantized)
+        else:
+            qp_loaded = None
+            layers = fold_unet_bn(variables)
+            taps = calibrate_unet(layers, [xs[: min(4, xs.shape[0])]])
         if args.quantize == "psrp":
-            qp = jax.tree.map(
-                jnp.asarray,
-                quantize_unet_psrp(
-                    layers, taps,
-                    init_features=int(layers["blk0_conv0"]["w"].shape[-1]),
-                ),
-            )
+            qp = jax.tree.map(jnp.asarray, qp_loaded or quantize_unet_psrp(
+                layers, taps,
+                init_features=int(layers["blk0_conv0"]["w"].shape[-1]),
+            ))
             preds = unet_psrp_forward(
                 qp, xs, cfg.model.num_classes
             ).astype(jnp.int32)
         elif args.quantize == "packed":
             qp = jax.tree.map(
-                jnp.asarray, quantize_unet_packed(layers, taps)
+                jnp.asarray, qp_loaded or quantize_unet_packed(layers, taps)
             )
             preds = unet_packed_forward(
                 qp, xs, cfg.model.num_classes
             ).astype(jnp.int32)
         else:
-            qp = jax.tree.map(jnp.asarray, quantize_unet(layers, taps))
+            qp = jax.tree.map(
+                jnp.asarray, qp_loaded or quantize_unet(layers, taps)
+            )
             if getattr(args, "spatial", 1) > 1:
                 from .parallel.halo import spatial_shard_infer
                 from .parallel.mesh import create_mesh
@@ -188,6 +193,11 @@ def cmd_infer(args):
             else:
                 logits = unet_int8_forward(qp, xs)
             preds = jnp.argmax(logits, axis=-1)
+        if getattr(args, "save_quantized", None):
+            from .inference.artifacts import save_qparams
+
+            save_qparams(args.save_quantized, jax.device_get(qp))
+            print(f"wrote quantized artifact to {args.save_quantized}")
     else:
         if getattr(args, "spatial", 1) > 1:
             from .parallel.halo import spatial_shard_infer
@@ -386,6 +396,15 @@ def main(argv=None):
         "--spatial", type=int, default=1,
         help="shard B-scan height over an N-way space mesh (exact "
              "halo-exchange inference; fp32 and int8 graphs)",
+    )
+    i.add_argument(
+        "--save-quantized", default=None,
+        help="write the quantized serving artifact (.npz) after calibration",
+    )
+    i.add_argument(
+        "--load-quantized", default=None,
+        help="serve from a saved quantized artifact (skips checkpoint "
+             "folding and calibration)",
     )
     i.add_argument(
         "--quantize", choices=("off", "int8", "packed", "psrp"),
