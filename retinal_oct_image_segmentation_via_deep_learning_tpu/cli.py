@@ -334,6 +334,89 @@ def cmd_smoke(args):
                 raise
 
 
+def cmd_serve(args):
+    """Persistent HTTP serving: ServingLoop micro-batching + stdlib HTTP
+    frontend (inference/http_server.py). Serves any quantization tier from
+    a checkpoint or a saved quantized artifact."""
+    import jax
+    import jax.numpy as jnp
+
+    from .inference.http_server import serve_forever
+    from .inference.server import ServingLoop
+    from .training.trainer import Trainer
+
+    cfg = _build_cfg(args)
+    trainer = Trainer(cfg)
+    H = W = args.image_size
+    nc = cfg.model.num_classes
+
+    if args.quantize != "off":
+        if cfg.model.name != "unet":
+            raise SystemExit("--quantize supports --model unet only")
+        from .inference import (
+            calibrate_unet,
+            fold_unet_bn,
+            quantize_unet,
+            unet_int8_forward,
+        )
+        from .inference.psrp import quantize_unet_psrp, unet_psrp_forward
+
+        if args.load_quantized:
+            from .inference.artifacts import load_qparams
+
+            qp = jax.tree.map(jnp.asarray, load_qparams(args.load_quantized))
+        else:
+            state = _serve_state(trainer, args, H, W)
+            layers = fold_unet_bn(
+                {"params": state.params, "batch_stats": state.batch_stats}
+            )
+            calib = trainer._preprocess(
+                jnp.zeros((2, H, W, 1), jnp.float32)
+            ).astype(jnp.float32)
+            taps = calibrate_unet(layers, [calib])
+            if args.quantize == "psrp":
+                qp = jax.tree.map(jnp.asarray, quantize_unet_psrp(
+                    layers, taps,
+                    init_features=int(layers["blk0_conv0"]["w"].shape[-1]),
+                ))
+            else:
+                qp = jax.tree.map(jnp.asarray, quantize_unet(layers, taps))
+        if args.quantize == "psrp":
+            fwd = lambda x: unet_psrp_forward(
+                qp, trainer._preprocess(x).astype(jnp.float32), nc
+            ).astype(jnp.int32)
+        else:
+            fwd = lambda x: jnp.argmax(unet_int8_forward(
+                qp, trainer._preprocess(x).astype(jnp.float32)), -1)
+    else:
+        state = _serve_state(trainer, args, H, W)
+        variables = {"params": state.params}
+        if state.batch_stats is not None and state.batch_stats:
+            variables["batch_stats"] = state.batch_stats
+        fwd = lambda x: jnp.argmax(trainer.model.apply(
+            variables, trainer._preprocess(x), train=False), -1)
+
+    loop = ServingLoop(fwd, (H, W, args.in_channels),
+                       batch_size=args.batch_size,
+                       max_wait_ms=args.max_wait_ms)
+    serve_forever(loop, host=args.host, port=args.port)
+
+
+def _serve_state(trainer, args, H, W):
+    import jax.numpy as jnp
+
+    state = trainer.init_state(jnp.zeros((1, H, W, 1), jnp.float32))
+    if args.checkpoint:
+        import jax
+
+        from .training.checkpoint import load_model
+
+        state = load_model(args.checkpoint, jax.device_get(state))
+    else:
+        print("note: no --checkpoint given; using random init")
+    return state
+
+
 def main(argv=None):
     import os as _os
 
@@ -413,6 +496,17 @@ def main(argv=None):
              "Pallas graph (TPU; interpret-mode elsewhere)",
     )
     i.set_defaults(fn=cmd_infer)
+
+    v = sub.add_parser("serve", parents=[common])
+    v.add_argument("--checkpoint", default=None)
+    v.add_argument("--host", default="127.0.0.1")
+    v.add_argument("--port", type=int, default=8765)
+    v.add_argument("--max-wait-ms", type=float, default=2.0)
+    v.add_argument(
+        "--quantize", choices=("off", "int8", "psrp"), default="off"
+    )
+    v.add_argument("--load-quantized", default=None)
+    v.set_defaults(fn=cmd_serve)
 
     args = p.parse_args(argv)
     return args.fn(args)
