@@ -96,16 +96,69 @@ def _time(run, params, iters):
     return best
 
 
+def _build_int8_fallback():
+    """All-XLA int8 graph — used only if the Pallas PSRP path fails on this
+    chip/toolchain (e.g. a Mosaic compile regression), so the bench always
+    records an honest number under a distinct metric name."""
+    from retinal_oct_image_segmentation_via_deep_learning_tpu.inference.quantized import (
+        calibrate_unet,
+        fold_unet_bn,
+        quantize_unet,
+        unet_int8_forward,
+    )
+    from retinal_oct_image_segmentation_via_deep_learning_tpu.models.unet import UNet
+
+    model = UNet(out_channels=NUM_CLASSES, init_features=32, dtype=jnp.bfloat16)
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, SIZE, SIZE, 1), jnp.bfloat16)
+    )
+    layers = fold_unet_bn(variables)
+    calib = np.random.default_rng(0).standard_normal(
+        (2, SIZE, SIZE, 1)
+    ).astype(np.float32)
+    qparams = jax.tree.map(
+        jnp.asarray, quantize_unet(layers, calibrate_unet(layers, [calib]))
+    )
+    pool = jax.jit(lambda k: jax.random.bits(
+        k, (4, BATCH, SIZE, SIZE, 1), jnp.uint16
+    ))(jax.random.PRNGKey(1))
+
+    @partial(jax.jit, static_argnums=2)
+    def run(qparams, pool, iters: int):
+        def body(carry, it):
+            x = jax.lax.dynamic_index_in_dim(
+                pool, it % pool.shape[0], keepdims=False
+            )
+            x = (x.astype(jnp.float32) / 65536.0) - 0.5
+            lab = jnp.argmax(unet_int8_forward(qparams, x), -1)
+            return carry + jnp.sum(lab, dtype=jnp.int32), None
+
+        total, _ = jax.lax.scan(body, jnp.int32(0), jnp.arange(iters))
+        return total
+
+    return qparams, lambda qp_, key_, iters: run(qp_, pool, iters)
+
+
 def main():
-    params, run = _build()
-    t_short = _time(run, params, 2)
+    import sys
+
+    metric = "unet_512x512_infer_int8_psrp"
+    try:
+        params, run = _build()
+        t_short = _time(run, params, 2)
+    except Exception as e:  # Pallas/Mosaic failure -> honest XLA fallback
+        print(f"PSRP path failed ({e!r}); falling back to all-XLA int8",
+              file=sys.stderr)
+        metric = "unet_512x512_infer_int8_xla_fallback"
+        params, run = _build_int8_fallback()
+        t_short = _time(run, params, 2)
     t_long = _time(run, params, 22)
     per_batch = (t_long - t_short) / 20.0
     scans_per_sec = BATCH / per_batch
     print(
         json.dumps(
             {
-                "metric": "unet_512x512_infer_int8_psrp",
+                "metric": metric,
                 "value": round(scans_per_sec, 2),
                 "unit": "B-scans/sec/chip",
                 "vs_baseline": round(scans_per_sec / BASELINE_SCANS_PER_SEC, 4),
