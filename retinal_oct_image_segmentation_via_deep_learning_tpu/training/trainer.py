@@ -163,18 +163,22 @@ class Trainer:
             nsteps = 0
             # Double-buffered ingest: preprocess + DP device_put of batch
             # k+1 overlaps the step on batch k (training/input_pipeline.py).
+            # steps_per_epoch bounds the SOURCE iterator (islice) so the
+            # producer thread always drains and exits.
+            import itertools
+
             from .input_pipeline import prefetch_to_device
 
+            epoch_iter = train_ds.epoch(epoch)
+            if cfg.steps_per_epoch:
+                epoch_iter = itertools.islice(epoch_iter, cfg.steps_per_epoch)
             batches = prefetch_to_device(
-                train_ds.epoch(epoch),
-                transform=lambda b: self._shard(*b),
+                epoch_iter, transform=lambda b: self._shard(*b)
             )
             for images, labels in batches:
                 state, loss = train_step(state, images, labels)
                 train_loss += float(loss)
                 nsteps += 1
-                if cfg.steps_per_epoch and nsteps >= cfg.steps_per_epoch:
-                    break
             record: dict[str, Any] = {
                 "epoch": epoch,
                 "train_loss": train_loss / max(nsteps, 1),
