@@ -273,7 +273,39 @@ def cmd_eval(args):
     else:
         print("note: no --checkpoint given; evaluating random init")
 
-    m = trainer.evaluate(state, ds)
+    predict_fn = None
+    if getattr(args, "quantize", "off") != "off":
+        # PTQ accuracy cost measured with the SAME metric suite: quantize
+        # the (loaded) checkpoint, evaluate the int8/psrp serving graph.
+        from .inference import (
+            calibrate_unet,
+            fold_unet_bn,
+            quantize_unet,
+            unet_int8_forward,
+        )
+        from .inference.psrp import quantize_unet_psrp, unet_psrp_forward
+
+        layers = fold_unet_bn(
+            {"params": state.params, "batch_stats": state.batch_stats}
+        )
+        calib_imgs, _ = next(iter(ds.epoch(0)))
+        calib = trainer._preprocess(calib_imgs).astype(jnp.float32)
+        taps = calibrate_unet(layers, [calib[: min(4, calib.shape[0])]])
+        if args.quantize == "psrp":
+            qp = jax.tree.map(jnp.asarray, quantize_unet_psrp(
+                layers, taps,
+                init_features=int(layers["blk0_conv0"]["w"].shape[-1]),
+            ))
+            nc_q = trainer.cfg.model.num_classes
+            predict_fn = lambda st, imgs: unet_psrp_forward(
+                qp, trainer._preprocess(imgs).astype(jnp.float32), nc_q
+            ).astype(jnp.int32)
+        else:
+            qp = jax.tree.map(jnp.asarray, quantize_unet(layers, taps))
+            predict_fn = lambda st, imgs: jnp.argmax(unet_int8_forward(
+                qp, trainer._preprocess(imgs).astype(jnp.float32)), -1)
+
+    m = trainer.evaluate(state, ds, predict_fn=predict_fn)
     print(f"pixel_accuracy: {m['pixel_accuracy']:.4f}")
     for name in ("dice", "iou", "sensitivity", "specificity", "precision",
                  "hd95", "assd", "thickness_diff", "vi_diff"):
@@ -463,6 +495,11 @@ def main(argv=None):
     e = sub.add_parser("eval", parents=[common])
     e.add_argument("--checkpoint", default=None)
     e.add_argument("--num-val", type=int, default=16)
+    e.add_argument(
+        "--quantize", choices=("off", "int8", "psrp"), default="off",
+        help="evaluate the PTQ serving graph instead of the fp32 model "
+             "(unet; measures quantization accuracy cost)",
+    )
     e.add_argument(
         "--data", default=None,
         help="real dataset spec: duke:<dir> | retouch:<dir> | png:<dir> "

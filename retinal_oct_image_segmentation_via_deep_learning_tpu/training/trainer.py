@@ -215,23 +215,30 @@ class Trainer:
         return best_state if val_ds is not None else state
 
     def evaluate(self, state: TrainState, dataset, epoch: int = 0,
-                 contour_metrics: bool = True, max_points: int = 1024):
+                 contour_metrics: bool = True, max_points: int = 1024,
+                 predict_fn=None):
         """Full on-device metric suite over a dataset (BASELINE config 5):
         per-class Dice/IoU/sensitivity/specificity/precision + confusion
         matrix in one aggregated confusion pass, plus (``contour_metrics``)
         per-class HD95/ASSD and thickness/vascularity differences — all five
-        reference metric families (SURVEY.md §2.1) in one call."""
+        reference metric families (SURVEY.md §2.1) in one call.
+
+        ``predict_fn(state, images) -> (B, H, W) labels`` overrides the fp32
+        model forward — e.g. a quantized serving graph, so the SAME metric
+        suite measures PTQ accuracy cost (cli eval --quantize int8)."""
         import numpy as np
 
         from ..metrics.volume import volume_boundary_metrics, volume_confusion
 
+        if predict_fn is None:
+            predict_fn = self.predict
         nc = self.cfg.model.num_classes
         cm = jnp.zeros((nc, nc), jnp.float32)
         bnd_sums: dict[str, Any] = {}
         valid_count = jnp.zeros((nc,), jnp.float32)
         n_slices = 0
         for images, labels in dataset.epoch(epoch):
-            preds = self.predict(state, images)
+            preds = predict_fn(state, images)
             cm = cm + volume_confusion(labels, preds, nc)
             if contour_metrics:
                 b = volume_boundary_metrics(labels, preds, nc, max_points)
