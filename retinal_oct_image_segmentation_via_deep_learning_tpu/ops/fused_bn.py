@@ -31,6 +31,8 @@ from __future__ import annotations
 
 from functools import partial
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
@@ -110,13 +112,15 @@ def _pair_sums(a, b=None):
     """
     import os as _os
 
-    if (jax.default_backend() == "tpu"
+    if (a.ndim == 4 and jax.default_backend() == "tpu"
             and _os.environ.get("OCTSEG_BN_STATS") == "pallas"):
         return _pallas_pair_sums(a, b)
-    s0 = jnp.sum(a, axis=(0, 1, 2), dtype=jnp.float32)
+    axes = tuple(range(a.ndim - 1))  # all-but-channel (any rank: 2-D
+    # modality-encoder features through 4-D NHWC maps)
+    s0 = jnp.sum(a, axis=axes, dtype=jnp.float32)
     af = a.astype(jnp.float32)
     s1 = jnp.sum(af * af if b is None else af * b.astype(jnp.float32),
-                 axis=(0, 1, 2))
+                 axis=axes)
     return jnp.stack([s0, s1])
 
 
@@ -133,7 +137,7 @@ def bn_train(x, gamma, beta):
 
 
 def _bn_fwd_impl(x, gamma, beta):
-    m = x.shape[0] * x.shape[1] * x.shape[2]
+    m = int(np.prod(x.shape[:-1]))
     sums = _pair_sums(x)
     mean = sums[0] / m
     var = jnp.maximum(sums[1] / m - mean * mean, 0.0)
@@ -152,7 +156,7 @@ def _bn_fwd(x, gamma, beta):
 def _bn_bwd(res, cts):
     dy, _dmean, _dvar = cts  # stat outputs feed stop-gradient updates
     x, mean, inv, gamma = res
-    m = x.shape[0] * x.shape[1] * x.shape[2]
+    m = int(np.prod(x.shape[:-1]))
     # one fused pass: [sum dy, sum dy * x]; dy*x_hat derived per channel
     sums = _pair_sums(dy, x)
     dbeta = sums[0]
