@@ -49,6 +49,17 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+def _snap_tile(n: int, t: int) -> int:
+    """Largest divisor of n that is <= t (tile sizes must divide the grid
+    extent; deep stages of odd geometries, e.g. H=6 at a 96-row input,
+    otherwise reject the swept defaults)."""
+    t = max(1, min(t, n))
+    while n % t:
+        t -= 1
+    return t
+
+
+
 def pack_weights(w, by: int = 1):
     """(3, 3, Cin, Cout) -> (3*(by+2)*Cin, by*Cout) block-banded matrix.
 
@@ -278,8 +289,7 @@ def ct2x2_int8(xq, w_mats, scale, bias, *, tr=16, interpret=False):
     """
     N, H, W, cin = xq.shape
     cout = w_mats[0].shape[1] // 2
-    tr = min(tr, H)
-    assert H % tr == 0
+    tr = _snap_tile(H, tr)
     scale_p = jnp.tile(scale, 2)[None]
     bias_p = jnp.tile(bias, 2)[None]
     y = pl.pallas_call(

@@ -54,6 +54,17 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+def _snap_tile(n: int, t: int) -> int:
+    """Largest divisor of n that is <= t (tile sizes must divide the grid
+    extent; deep stages of odd geometries, e.g. H=6 at a 96-row input,
+    otherwise reject the swept defaults)."""
+    t = max(1, min(t, n))
+    while n % t:
+        t -= 1
+    return t
+
+
+
 # ---------------------------------------------------------------------------
 # layout transforms (XLA; tests and graph boundaries only)
 # ---------------------------------------------------------------------------
@@ -251,8 +262,7 @@ def conv3x3_psrp(inputs, w_mats, scale, bias, *, by, nph, cins,
     N, G, nph_, W2, L0 = inputs[0].shape
     assert nph_ == nph and L0 == by * cins[0], (inputs[0].shape, by, cins)
     cout = w_mats[0].shape[1] // by
-    tg = min(tg, G)
-    assert G % tg == 0, (G, tg)
+    tg = _snap_tile(G, tg)
     if pool:
         assert by % 2 == 0 and nph % 2 == 0
     S = G // tg
@@ -360,8 +370,7 @@ def ct_up_psrp(xq, w_mats, scale, bias, *, tr=8, interpret=False):
     """
     N, H, W, cin = xq.shape
     cout = w_mats[0].shape[1] // 2
-    tr = min(tr, H)
-    assert H % tr == 0
+    tr = _snap_tile(H, tr)
     scale_p = jnp.tile(scale, 2)[None]
     bias_p = jnp.tile(bias, 2)[None]
     return pl.pallas_call(
@@ -433,8 +442,7 @@ def ct_psrp(p_in, w_mats, scale, bias, *, by_in=2, nph_in=2, tg=8,
     cin = L // by_in
     by_out = 2 * by_in
     cout = w_mats[0].shape[1] // by_out
-    tg = min(tg, G)
-    assert G % tg == 0
+    tg = _snap_tile(G, tg)
     scale_p = jnp.tile(scale, by_out)[None]
     bias_p = jnp.tile(bias, by_out)[None]
     return pl.pallas_call(
@@ -622,8 +630,7 @@ def head_argmax_psrp(p, w_packed, scale, bias, *, by, nph, nc, tg=8,
     assert nph_ == nph
     cin = L // by
     ncp = w_packed.shape[1]
-    tg = min(tg, G)
-    assert G % tg == 0
+    tg = _snap_tile(G, tg)
     pad_s = np.zeros(ncp - scale.shape[0], np.float32)
     pad_b = np.full(ncp - bias.shape[0], -3e38, np.float32)
     scale_p = jnp.concatenate([jnp.asarray(scale), pad_s])[:, None]
