@@ -32,7 +32,7 @@ for kib in 32768 65536 98304; do
     timeout 1500 python -u perf/train_bench.py 2>&1 | grep "ms/step" | sed "s/^/vmem=$kib /"
 done
 
-echo "=== DONE ==="
-
 echo "=== 6. train b24 (between b16's 10.5 and b32's 11.2 ms/img) ==="
 OCTSEG_BENCH_BATCH=24 timeout 1500 python -u perf/train_bench.py 2>&1 | grep "ms/step"
+
+echo "=== DONE ==="
