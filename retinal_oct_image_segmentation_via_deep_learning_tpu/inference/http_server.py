@@ -85,7 +85,7 @@ def make_server(loop: ServingLoop, host: str = "127.0.0.1",
 def serve_forever(loop: ServingLoop, host: str = "127.0.0.1",
                   port: int = 8765):
     """Start the loop + HTTP server; blocks until KeyboardInterrupt."""
-    loop.start()
+    loop.warmup().start()
     httpd = make_server(loop, host, port)
     print(f"serving on http://{host}:{httpd.server_address[1]} "
           f"(batch {loop.batch_size}, image {loop.image_shape})")

@@ -67,6 +67,14 @@ class ServingLoop:
     def predict(self, image: np.ndarray):
         return self.submit(image).result()
 
+    def warmup(self):
+        """Compile + execute one dummy batch before taking traffic, so the
+        first real request doesn't pay XLA compilation (~20-40 s for the
+        Pallas serving graphs over a remote backend)."""
+        batch = jnp.zeros((self.batch_size,) + self.image_shape, jnp.float32)
+        jax.block_until_ready(self._forward(batch))
+        return self
+
     def close(self):
         """Reject new submits, drain-serve already-queued requests, stop."""
         self._stop.set()
