@@ -57,8 +57,11 @@ from ..ops.pallas_conv_psrp import (
     pack_head_psrp_weights,
     pack_psrp,
     pack_psrp_weights,
+    pack_stem2_weights,
     pack_stem_psrp_weights,
     prep_stem_input,
+    prep_stem_window,
+    stem_conv_psrp,
     stem_psrp,
     unpack_psrp,
 )
@@ -134,6 +137,16 @@ STAGE_TG = {
     "head": 16,
 }
 
+# by=8 stages double the banded-K intermediates per tile; tg=16 overflows
+# the 16M Mosaic stack (measured on-chip: blk8_conv0 f=16 wanted 20.68M).
+# Halve the tile for every by=8 stage in the f=16 / doubled-f32 tables.
+def _stage_tg_for(stage_table):
+    tgs = dict(STAGE_TG)
+    for name, (by, _nph, _cins) in stage_table.items():
+        if by >= 8:
+            tgs[name] = 8
+    return tgs
+
 
 def _quant_w(w):
     s_w = np.max(np.abs(w), axis=(0, 1, 2)) / 127.0
@@ -181,6 +194,10 @@ def quantize_unet_psrp(layers, taps, init_features: int = 32):
         q["blk0_conv0"]["w_q"], STEM_BY, NPH_STEM
     )
     q["blk0_conv0"]["w_stem"] = tuple(stem_mats)
+    by1 = stage_table["blk0_conv1"][0]
+    q["blk0_conv0"]["w_stem2"] = tuple(
+        pack_stem2_weights(q["blk0_conv0"]["w_q"], by1, NPH_STEM)
+    )
     by_full = stage_table["blk8_conv1"][0]
     q["head"]["w_head"] = pack_head_psrp_weights(q["head"]["w_q"], by_full)
     by3 = stage_table["blk7_conv1"][0]
@@ -205,12 +222,14 @@ def unet_psrp_forward(qparams, x, num_classes: int, tg=None):
     an int applies globally, a mapping overrides per stage, None uses the
     swept per-stage defaults (``STAGE_TG``).
     """
+    f0 = int(qparams["blk0_conv0"]["w_q"].shape[-1])
+    base_tg = _stage_tg_for(_psrp_config(f0)[0])
     if tg is None:
-        tgs = dict(STAGE_TG)
+        tgs = dict(base_tg)
     elif isinstance(tg, int):
-        tgs = {k: tg for k in STAGE_TG}
+        tgs = {k: tg for k in base_tg}
     else:
-        tgs = {**STAGE_TG, **tg}
+        tgs = {**base_tg, **tg}
     import os as _os
 
     for kv in filter(None, _os.environ.get("OCTSEG_PSRP_TG", "").split(",")):
@@ -226,14 +245,6 @@ def unet_psrp_forward(qparams, x, num_classes: int, tg=None):
         lw = qparams[name]
         return (s[in_key] * lw["s_w"] / s[out_key], lw["b"] / s[out_key])
 
-    # --- stem ---
-    xp = prep_stem_input(x, s["blk0_conv0_in"], BY=STEM_BY, nph=NPH_STEM)
-    sc, b = eff("blk0_conv0", "blk0_conv0_in", "blk0_conv1_in")
-    h = stem_psrp(
-        xp, qparams["blk0_conv0"]["w_stem"], sc, b,
-        BY=STEM_BY, by_out=by_stem_out, nph=NPH_STEM, interpret=interp,
-    )
-
     def pconv(inputs, name, in_key, out_key, pool=False):
         by, nph, cins = stage_table[name]
         scale, bias = eff(name, in_key, out_key)
@@ -243,8 +254,29 @@ def unet_psrp_forward(qparams, x, num_classes: int, tg=None):
             interpret=interp,
         )
 
-    enc0, h = pconv([h], "blk0_conv1", "blk0_conv1_in", "blk1_conv0_in",
-                    pool=True)  # pooled: P(2,2) 32ch
+    if not _os.environ.get("OCTSEG_PSRP_NO_STEM_FUSE"):
+        # fused stem + blk0_conv1 + pool: the full-res stem tensor never
+        # round-trips HBM (bit-identical to the two-kernel path).
+        by1 = stage_table["blk0_conv1"][0]
+        sc0, b0 = eff("blk0_conv0", "blk0_conv0_in", "blk0_conv1_in")
+        sc1, b1 = eff("blk0_conv1", "blk0_conv1_in", "blk1_conv0_in")
+        xwin = prep_stem_window(x, s["blk0_conv0_in"], by=by1, nph=NPH_STEM)
+        enc0, h = stem_conv_psrp(
+            xwin, qparams["blk0_conv0"]["w_stem2"], sc0, b0,
+            qparams["blk0_conv1"]["w_psrp"], sc1, b1, by=by1,
+            nph=NPH_STEM, tg=tgs["blk0_conv1"], pool=True,
+            interpret=interp,
+        )  # pooled: P(2,2) 32ch
+    else:
+        xp = prep_stem_input(x, s["blk0_conv0_in"], BY=STEM_BY,
+                             nph=NPH_STEM)
+        sc, b = eff("blk0_conv0", "blk0_conv0_in", "blk0_conv1_in")
+        h = stem_psrp(
+            xp, qparams["blk0_conv0"]["w_stem"], sc, b,
+            BY=STEM_BY, by_out=by_stem_out, nph=NPH_STEM, interpret=interp,
+        )
+        enc0, h = pconv([h], "blk0_conv1", "blk0_conv1_in",
+                        "blk1_conv0_in", pool=True)  # pooled: P(2,2) 32ch
     h = pconv([h], "blk1_conv0", "blk1_conv0_in", "blk1_conv1_in")
     enc1, hp = pconv([h], "blk1_conv1", "blk1_conv1_in", "blk2_conv0_in",
                      pool=True)
@@ -327,11 +359,29 @@ def unet_psrp_forward(qparams, x, num_classes: int, tg=None):
     up = ct_psrp(h, qparams["ct3"]["w_ct"], sc, b, by_in=by3, nph_in=nph3,
                  tg=tgs["ct3"], interpret=interp)
     h = pconv([up, enc0], "blk8_conv0", "blk8_cat", "blk8_conv1_in")
-    h = pconv([h], "blk8_conv1", "blk8_conv1_in", "head_in")
 
     lw = qparams["head"]
     by_h, nph_h = stage_table["blk8_conv1"][0], stage_table["blk8_conv1"][1]
-    return head_argmax_psrp(
-        h, lw["w_head"], s["head_in"] * lw["s_w"], lw["b"], by=by_h,
-        nph=nph_h, nc=num_classes, tg=tgs["head"], interpret=interp,
+    if _os.environ.get("OCTSEG_PSRP_NO_HEAD_FUSE"):
+        h = pconv([h], "blk8_conv1", "blk8_conv1_in", "head_in")
+        return head_argmax_psrp(
+            h, lw["w_head"], s["head_in"] * lw["s_w"], lw["b"], by=by_h,
+            nph=nph_h, nc=num_classes, tg=tgs["head"], interpret=interp,
+        )
+    # blk8_conv1 + head + argmax in ONE kernel: the full-res 32-ch int8
+    # tensor (2 GB/batch HBM round-trip at 512^2 b128) never leaves VMEM.
+    name = "blk8_conv1"
+    by_, nph_, cins = stage_table[name]
+    scale, bias = eff(name, "blk8_conv1_in", "head_in")
+    G, W2 = h.shape[1], h.shape[3]
+    out = conv3x3_psrp(
+        (h,), qparams[name]["w_psrp"], scale, bias, by=by_, nph=nph_,
+        cins=cins, tg=tgs[name],
+        head=(lw["w_head"], s["head_in"] * lw["s_w"], lw["b"]),
+        interpret=interp,
+    )
+    return (
+        out.reshape(N, nph_, by_, G, W2)
+        .transpose(0, 3, 2, 4, 1)
+        .reshape(N, G * by_, W2 * nph_)
     )

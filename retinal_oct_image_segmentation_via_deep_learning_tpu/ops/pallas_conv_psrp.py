@@ -148,7 +148,7 @@ def pack_psrp_weights(w, by: int, nph: int):
 # ---------------------------------------------------------------------------
 
 
-def _psrp_kernel(tg, by, nph, W2, cins, cout, relu, pool, meta):
+def _psrp_kernel(tg, by, nph, W2, cins, cout, relu, pool, meta, head, ncp):
     taps_by_phase = _phase_taps(nph)
     n_in = len(cins)
 
@@ -156,7 +156,11 @@ def _psrp_kernel(tg, by, nph, W2, cins, cout, relu, pool, meta):
         nw = sum(len(g) for g in meta)
         w_refs = refs[3 * n_in : 3 * n_in + nw]
         scale_ref, bias_ref = refs[3 * n_in + nw : 3 * n_in + nw + 2]
-        o_ref = refs[3 * n_in + nw + 2]
+        if head:
+            hw_ref, hscale_ref, hbias_ref = refs[
+                3 * n_in + nw + 2 : 3 * n_in + nw + 5
+            ]
+        o_ref = refs[-2] if pool else refs[-1]
         s = pl.program_id(1)
         ns = pl.num_programs(1)
 
@@ -218,7 +222,25 @@ def _psrp_kernel(tg, by, nph, W2, cins, cout, relu, pool, meta):
             if relu:
                 yf = jnp.maximum(yf, 0.0)
             y8 = jnp.clip(jnp.round(yf), -127.0, 127.0).astype(jnp.int8)
-            o_ref[0, :, phip] = y8.reshape(tg, W2, by * cout)
+            if head:
+                # Fused 1x1-head + argmax epilogue (blk8_conv1 + head in one
+                # pass): the full-res int8 tensor never round-trips HBM
+                # (~2 GB/batch at 512^2 b128). Numerics identical to the
+                # standalone ``head_argmax_psrp``: requant to int8 first,
+                # then the same transposed int8 class dots + sublane argmax.
+                iota = jax.lax.broadcasted_iota(
+                    jnp.int32, (ncp, tg * W2), 0
+                )
+                for i in range(by):
+                    z = jax.lax.dot_general(
+                        hw_ref[i], y8, (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.int32,
+                    ).astype(jnp.float32) * hscale_ref[...] + hbias_ref[...]
+                    m = jnp.max(z, axis=0, keepdims=True)
+                    idx = jnp.min(jnp.where(z >= m, iota, ncp), axis=0)
+                    o_ref[0, phip, i] = idx.astype(jnp.int8)
+            else:
+                o_ref[0, :, phip] = y8.reshape(tg, W2, by * cout)
             outs.append(yf)
 
         if pool:
@@ -247,7 +269,7 @@ def _psrp_kernel(tg, by, nph, W2, cins, cout, relu, pool, meta):
 @partial(jax.jit, static_argnames=("by", "nph", "cins", "relu", "tg",
                                    "pool", "interpret"))
 def conv3x3_psrp(inputs, w_mats, scale, bias, *, by, nph, cins,
-                 relu=True, tg=8, pool=False, interpret=False):
+                 relu=True, tg=8, pool=False, head=None, interpret=False):
     """PSRP int8 3x3 conv (+ optional folded skip concat + fused pool).
 
     inputs: tuple of PSRP tensors (N, G, nph, W2, by*cin_k). w_mats: tuple
@@ -256,6 +278,12 @@ def conv3x3_psrp(inputs, w_mats, scale, bias, *, by, nph, cins,
     (N, G, nph//2, W2, (by//2)*cout) — the 2x2/2-pooled tensor in the next
     stage's PSRP layout (nph=2 pools to the plain unpacked layout via
     ``.reshape(N, G, W2, cout)``).
+
+    head=(w_head, head_scale, head_bias): fuse the 1x1-classifier + argmax
+    into the epilogue (mutually exclusive with pool). The conv output is
+    requantized to int8 exactly as in the unfused path, then consumed
+    in-register by the transposed head dots; the return value is the label
+    tensor (N, nph, by, G*W2) in ``head_argmax_psrp``'s layout.
     """
     if not isinstance(inputs, (tuple, list)):
         inputs = (inputs,)
@@ -265,6 +293,7 @@ def conv3x3_psrp(inputs, w_mats, scale, bias, *, by, nph, cins,
     tg = _snap_tile(G, tg)
     if pool:
         assert by % 2 == 0 and nph % 2 == 0
+    assert not (pool and head)
     S = G // tg
     _, meta = pack_psrp_weights(
         np.zeros((3, 3, sum(cins), cout), np.int8), by, nph
@@ -272,6 +301,14 @@ def conv3x3_psrp(inputs, w_mats, scale, bias, *, by, nph, cins,
 
     scale_p = jnp.tile(scale, by)[None]
     bias_p = jnp.tile(bias, by)[None]
+    ncp = 0
+    if head is not None:
+        w_head, head_scale, head_bias = head
+        ncp = w_head.shape[1]
+        pad_s = np.zeros(ncp - head_scale.shape[0], np.float32)
+        pad_b = np.full(ncp - head_bias.shape[0], -3e38, np.float32)
+        hscale_p = jnp.concatenate([jnp.asarray(head_scale), pad_s])[:, None]
+        hbias_p = jnp.concatenate([jnp.asarray(head_bias), pad_b])[:, None]
 
     in_specs = []
     operands = []
@@ -293,15 +330,29 @@ def conv3x3_psrp(inputs, w_mats, scale, bias, *, by, nph, cins,
         operands += [inputs[k]] * 3
     nw = len(w_mats)
     in_specs += [pl.BlockSpec(memory_space=pltpu.VMEM)] * (nw + 2)
+    extra = []
+    if head is not None:
+        in_specs += [pl.BlockSpec(memory_space=pltpu.VMEM)] * 3
+        extra = [jnp.asarray(w_head), hscale_p, hbias_p]
 
-    out_specs = [
-        pl.BlockSpec((1, tg, nph, W2, by * cout),
-                     lambda n, s: (n, s, 0, 0, 0),
-                     memory_space=pltpu.VMEM)
-    ]
-    out_shape = [
-        jax.ShapeDtypeStruct((N, G, nph, W2, by * cout), jnp.int8)
-    ]
+    if head is not None:
+        out_specs = [
+            pl.BlockSpec((1, nph, by, tg * W2),
+                         lambda n, s: (n, 0, 0, s),
+                         memory_space=pltpu.VMEM)
+        ]
+        out_shape = [
+            jax.ShapeDtypeStruct((N, nph, by, G * W2), jnp.int8)
+        ]
+    else:
+        out_specs = [
+            pl.BlockSpec((1, tg, nph, W2, by * cout),
+                         lambda n, s: (n, s, 0, 0, 0),
+                         memory_space=pltpu.VMEM)
+        ]
+        out_shape = [
+            jax.ShapeDtypeStruct((N, G, nph, W2, by * cout), jnp.int8)
+        ]
     if pool:
         out_specs.append(
             pl.BlockSpec((1, tg, nph // 2, W2, (by // 2) * cout),
@@ -315,13 +366,14 @@ def conv3x3_psrp(inputs, w_mats, scale, bias, *, by, nph, cins,
         )
 
     out = pl.pallas_call(
-        _psrp_kernel(tg, by, nph, W2, tuple(cins), cout, relu, pool, meta),
+        _psrp_kernel(tg, by, nph, W2, tuple(cins), cout, relu, pool, meta,
+                     head is not None, ncp),
         grid=(N, S),
         in_specs=in_specs,
         out_specs=out_specs if pool else out_specs[0],
         out_shape=out_shape if pool else out_shape[0],
         interpret=interpret,
-    )(*operands, *w_mats, scale_p, bias_p)
+    )(*operands, *w_mats, scale_p, bias_p, *extra)
     return out
 
 
@@ -568,6 +620,217 @@ def stem_psrp(xp, w_mats, scale, bias, *, BY=32, by_out=4, nph=4,
         interpret=interpret,
     )(xp, xp, xp, *w_mats, scale_p, bias_p)
     return out
+
+
+def prep_stem_window(x, s_in, by: int = 4, nph: int = 4):
+    """(N, H, W, 1) float -> (N, H//by, nph, W//nph, by+4) int8 row-window
+    tensor for the fused stem+conv kernel: group g's lanes hold image rows
+    by*g-2 .. by*g+by+1 (rows outside [0, H) are zero). Rows are duplicated
+    2x across adjacent groups so the kernel's halo lives in lanes — one
+    small fused XLA pass over the 1-channel image."""
+    N, H, W, _ = x.shape
+    xq = jnp.clip(
+        jnp.round(x[..., 0].astype(jnp.float32) / s_in), -127, 127
+    ).astype(jnp.int8)
+    p = (
+        xq.reshape(N, H // by, by, W // nph, nph)
+        .transpose(0, 1, 4, 3, 2)
+    )  # (N, G, nph, W2, by)
+    z = jnp.zeros_like(p[:, :1])
+    prev = jnp.concatenate([z, p[:, :-1]], axis=1)[..., by - 2 :]
+    nxt = jnp.concatenate([p[:, 1:], z], axis=1)[..., :2]
+    return jnp.concatenate([prev, p, nxt], axis=-1)
+
+
+def pack_stem2_weights(w, by: int, nph: int):
+    """(3, 3, 1, cout) -> per (out-phase, ws-group) banded matrices for the
+    fused stem: rows (tap, jrow in 0..by+3) over the row-window lanes, cols
+    (jout in 0..by+1, co) producing stem rows by*g-1 .. by*g+by. Band:
+    jrow = jout + ky (lane jrow holds image row by*g-2+jrow)."""
+    kh, kw, _, cout = w.shape
+    assert (kh, kw) == (3, 3)
+    w = np.asarray(w)
+    jr, jo = by + 4, by + 2
+    mats = []
+    for groups in _phase_taps(nph):
+        for _ws, taps in groups:
+            m = np.zeros((len(taps), jr, jo, cout), w.dtype)
+            for t, (dx, _phi_in) in enumerate(taps):
+                for jout in range(jo):
+                    for ky in range(3):
+                        m[t, jout + ky, jout, :] = w[ky, dx, 0]
+            mats.append(m.reshape(len(taps) * jr, jo * cout))
+    return mats
+
+
+def _stem_conv_kernel(tg, by, nph, W2, c1, cout, meta_s, meta_c, pool):
+    taps_by_phase = _phase_taps(nph)
+    jo = by + 2
+
+    def kernel(*refs):
+        nws = sum(len(g) for g in meta_s)
+        nwc = sum(len(g) for g in meta_c)
+        x_ref = refs[0]
+        ws_refs = refs[1 : 1 + nws]
+        s_scale_ref, s_bias_ref = refs[1 + nws : 3 + nws]
+        wc_refs = refs[3 + nws : 3 + nws + nwc]
+        c_scale_ref, c_bias_ref = refs[3 + nws + nwc : 5 + nws + nwc]
+        o_ref = refs[-2] if pool else refs[-1]
+        s = pl.program_id(1)
+        ns = pl.num_programs(1)
+
+        # --- stage 1: stem rows by*g-1 .. by*g+by per phase, from the
+        # row-window lanes (halo duplicated into lanes by prep_stem_window)
+        stem = []  # per phase: (tg, W2, (jout, c1)) int8
+        wi = 0
+        for phip in range(nph):
+            acc = None
+            for ws, taps in taps_by_phase[phip]:
+                pieces = [x_ref[0, :, phi_in] for _dx, phi_in in taps]
+                X = jnp.concatenate(pieces, axis=-1) if len(pieces) > 1 \
+                    else pieces[0]
+                if ws:
+                    X = jnp.pad(X, ((0, 0), (1, 1), (0, 0)))[
+                        :, ws + 1 : ws + 1 + W2
+                    ]
+                part = jax.lax.dot_general(
+                    X.reshape(tg * W2, X.shape[-1]), ws_refs[wi][...],
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32,
+                )
+                wi += 1
+                acc = part if acc is None else acc + part
+            yf = acc.astype(jnp.float32) * s_scale_ref[0] + s_bias_ref[0]
+            yf = jnp.maximum(yf, 0.0)
+            y8 = jnp.clip(jnp.round(yf), -127.0, 127.0).astype(jnp.int8)
+            y8 = y8.reshape(tg, W2, jo * c1)
+            # conv1 zero-pads: the virtual stem rows -1 / H must be 0, not
+            # stem(zero-padded image). They live at (t=0, jout=0) of the
+            # first tile and (t=tg-1, jout=by+1) of the last.
+            it = jax.lax.broadcasted_iota(jnp.int32, (tg, 1, 1), 0)
+            y8 = jnp.where((s == 0) & (it == 0),
+                           jnp.concatenate(
+                               [jnp.zeros_like(y8[:, :, :c1]),
+                                y8[:, :, c1:]], axis=-1),
+                           y8)
+            y8 = jnp.where((s == ns - 1) & (it == tg - 1),
+                           jnp.concatenate(
+                               [y8[:, :, : (jo - 1) * c1],
+                                jnp.zeros_like(y8[:, :, :c1])], axis=-1),
+                           y8)
+            stem.append(y8)
+
+        # --- stage 2: conv1 on the in-register stem rows (+ fused pool)
+        wi = 0
+        outs = []
+        for phip in range(nph):
+            acc = None
+            for ws, taps in taps_by_phase[phip]:
+                pieces = []
+                for _dx, phi_in in taps:
+                    for j in range(jo):
+                        pieces.append(
+                            stem[phi_in][:, :, j * c1 : (j + 1) * c1]
+                        )
+                X = jnp.concatenate(pieces, axis=-1)
+                if ws:
+                    X = jnp.pad(X, ((0, 0), (1, 1), (0, 0)))[
+                        :, ws + 1 : ws + 1 + W2
+                    ]
+                part = jax.lax.dot_general(
+                    X.reshape(tg * W2, X.shape[-1]), wc_refs[wi][...],
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32,
+                )
+                wi += 1
+                acc = part if acc is None else acc + part
+            yf = acc.astype(jnp.float32) * c_scale_ref[0] + c_bias_ref[0]
+            yf = jnp.maximum(yf, 0.0)
+            y8 = jnp.clip(jnp.round(yf), -127.0, 127.0).astype(jnp.int8)
+            o_ref[0, :, phip] = y8.reshape(tg, W2, by * cout)
+            outs.append(yf)
+
+        if pool:
+            p_ref = refs[-1]
+            for u in range(nph // 2):
+                m = jnp.maximum(outs[2 * u], outs[2 * u + 1])
+                m = m.reshape(tg, W2, by * cout)
+                rp = jnp.concatenate(
+                    [
+                        jnp.maximum(
+                            m[..., (2 * i) * cout : (2 * i + 1) * cout],
+                            m[..., (2 * i + 1) * cout : (2 * i + 2) * cout],
+                        )
+                        for i in range(by // 2)
+                    ],
+                    axis=-1,
+                )
+                rp = jnp.clip(jnp.round(rp), -127.0, 127.0).astype(jnp.int8)
+                p_ref[0, :, u] = rp
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("by", "nph", "tg", "pool", "interpret"))
+def stem_conv_psrp(xwin, stem_mats, stem_scale, stem_bias, conv_mats,
+                   conv_scale, conv_bias, *, by=4, nph=4, tg=8,
+                   pool=True, interpret=False):
+    """Fused stem (1->c1 3x3) + first conv (c1->cout 3x3) + optional 2x2/2
+    pool in ONE kernel. The full-res stem tensor (~1 GB/batch at 512^2
+    b128) never touches HBM: the row halo needed by conv1 is computed
+    in-register from ``prep_stem_window``'s lane-duplicated image rows
+    (1.5x stem recompute at the tile overlap — stem FLOPs are negligible).
+    Numerics are bit-identical to ``stem_psrp`` + ``conv3x3_psrp``: the
+    intermediate requants to int8 with the same scale before conv1."""
+    N, G, nph_, W2, L = xwin.shape
+    assert nph_ == nph and L == by + 4
+    c1 = stem_mats[0].shape[1] // (by + 2)
+    cout = conv_mats[0].shape[1] // by
+    tg = _snap_tile(G, tg)
+    _, meta_s = pack_psrp_weights(
+        np.zeros((3, 3, 1, 1), np.int8), by + 2, nph
+    )  # only group/tap structure is used
+    _, meta_c = pack_psrp_weights(
+        np.zeros((3, 3, c1, cout), np.int8), by, nph
+    )
+    s_scale_p = jnp.tile(stem_scale, by + 2)[None]
+    s_bias_p = jnp.tile(stem_bias, by + 2)[None]
+    c_scale_p = jnp.tile(conv_scale, by)[None]
+    c_bias_p = jnp.tile(conv_bias, by)[None]
+
+    nws, nwc = len(stem_mats), len(conv_mats)
+    in_specs = [
+        pl.BlockSpec((1, tg, nph, W2, L), lambda n, s: (n, s, 0, 0, 0),
+                     memory_space=pltpu.VMEM)
+    ] + [pl.BlockSpec(memory_space=pltpu.VMEM)] * (nws + 2 + nwc + 2)
+    out_specs = [
+        pl.BlockSpec((1, tg, nph, W2, by * cout),
+                     lambda n, s: (n, s, 0, 0, 0),
+                     memory_space=pltpu.VMEM)
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((N, G, nph, W2, by * cout), jnp.int8)
+    ]
+    if pool:
+        out_specs.append(
+            pl.BlockSpec((1, tg, nph // 2, W2, (by // 2) * cout),
+                         lambda n, s: (n, s, 0, 0, 0),
+                         memory_space=pltpu.VMEM)
+        )
+        out_shape.append(
+            jax.ShapeDtypeStruct(
+                (N, G, nph // 2, W2, (by // 2) * cout), jnp.int8
+            )
+        )
+    return pl.pallas_call(
+        _stem_conv_kernel(tg, by, nph, W2, c1, cout, meta_s, meta_c, pool),
+        grid=(N, G // tg),
+        in_specs=in_specs,
+        out_specs=out_specs if pool else out_specs[0],
+        out_shape=out_shape if pool else out_shape[0],
+        interpret=interpret,
+    )(xwin, *stem_mats, s_scale_p, s_bias_p, *conv_mats, c_scale_p,
+      c_bias_p)
 
 
 def prep_stem_input(x, s_in, BY: int = 32, nph: int = 4):

@@ -208,6 +208,82 @@ def test_head_argmax_psrp():
     assert jnp.array_equal(got, want)
 
 
+@pytest.mark.parametrize("by,nph", [(4, 4), (8, 4)])
+def test_stem_conv_psrp_fused_matches_two_kernels(by, nph):
+    """Fused stem+conv1+pool is bit-exact vs the two-conv lax reference."""
+    from retinal_oct_image_segmentation_via_deep_learning_tpu.ops.pallas_conv_psrp import (
+        pack_stem2_weights,
+        prep_stem_window,
+        stem_conv_psrp,
+    )
+
+    c1, cout = 8, 8
+    H, W = 4 * by, 16
+    x = jnp.asarray(RNG.normal(0, 1, (2, H, W, 1)), jnp.float32)
+    w0 = np.asarray(RNG.integers(-20, 20, (3, 3, 1, c1)), np.int8)
+    w1 = np.asarray(RNG.integers(-20, 20, (3, 3, c1, cout)), np.int8)
+    s_in = np.float32(0.01)
+    sc0 = jnp.asarray(RNG.uniform(1e-3, 2e-3, (c1,)), jnp.float32)
+    b0 = jnp.asarray(RNG.uniform(-3, 3, (c1,)), jnp.float32)
+    sc1 = jnp.asarray(RNG.uniform(1e-3, 2e-3, (cout,)), jnp.float32)
+    b1 = jnp.asarray(RNG.uniform(-3, 3, (cout,)), jnp.float32)
+    xwin = prep_stem_window(x, s_in, by=by, nph=nph)
+    full, pooled = stem_conv_psrp(
+        xwin,
+        tuple(jnp.asarray(m) for m in pack_stem2_weights(w0, by, nph)),
+        sc0, b0,
+        tuple(jnp.asarray(m)
+              for m in pack_psrp_weights(w1, by, nph)[0]),
+        sc1, b1, by=by, nph=nph, tg=2, pool=True, interpret=True,
+    )
+    xq = jnp.clip(jnp.round(x / s_in), -127, 127).astype(jnp.int8)
+    mid = _ref_conv(xq, jnp.asarray(w0), sc0, b0)
+    want = _ref_conv(mid, jnp.asarray(w1), sc1, b1)
+    assert jnp.array_equal(unpack_psrp(full, by, nph), want)
+    want_pool = jax.lax.reduce_window(
+        want, jnp.int8(-128), jax.lax.max, (1, 2, 2, 1), (1, 2, 2, 1),
+        "VALID",
+    )
+    assert jnp.array_equal(unpack_psrp(pooled, by // 2, nph // 2),
+                           want_pool)
+
+
+def test_conv3x3_psrp_fused_head():
+    """conv3x3_psrp(head=...) == conv3x3_psrp -> head_argmax_psrp."""
+    by = nph = 4
+    cin, cout, nc = 8, 8, 5
+    H = W = 16
+    x = _rand_int8((2, H, W, cin))
+    w = np.asarray(RNG.integers(-20, 20, (3, 3, cin, cout)), np.int8)
+    wh = np.asarray(RNG.integers(-20, 20, (1, 1, cout, nc)), np.int8)
+    scale = jnp.asarray(RNG.uniform(1e-3, 2e-3, (cout,)), jnp.float32)
+    bias = jnp.asarray(RNG.uniform(-3, 3, (cout,)), jnp.float32)
+    hs = np.asarray(RNG.uniform(1e-3, 2e-3, (nc,)), np.float32)
+    hb = np.asarray(RNG.uniform(-0.5, 0.5, (nc,)), np.float32)
+    mats = tuple(jnp.asarray(m) for m in pack_psrp_weights(w, by, nph)[0])
+    wh_packed = jnp.asarray(pack_head_psrp_weights(wh, by, ncp=8))
+    p = pack_psrp(x, by, nph)
+    fused = conv3x3_psrp(
+        (p,), mats, scale, bias, by=by, nph=nph, cins=(cin,), tg=2,
+        head=(wh_packed, hs, hb), interpret=True,
+    )
+    N, G, W2 = 2, H // by, W // nph
+    fused_lab = (
+        fused.reshape(N, nph, by, G, W2)
+        .transpose(0, 3, 2, 4, 1)
+        .reshape(N, H, W)
+    )
+    mid = conv3x3_psrp(
+        (p,), mats, scale, bias, by=by, nph=nph, cins=(cin,), tg=2,
+        interpret=True,
+    )
+    want = head_argmax_psrp(
+        mid, wh_packed, hs, hb, by=by, nph=nph, nc=nc, tg=2,
+        interpret=True,
+    )
+    assert jnp.array_equal(fused_lab, want)
+
+
 def test_ct2x2_int8_matches_lax():
     from retinal_oct_image_segmentation_via_deep_learning_tpu.ops.pallas_conv_int8 import (
         ct2x2_int8,
