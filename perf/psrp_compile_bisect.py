@@ -98,7 +98,7 @@ def compile_stage(name, tg=8):
                 for c in cins
             )
             wq = rng.integers(-20, 20, (3, 3, cin_tot, cout)).astype(np.int8)
-            mats, _ = pack_psrp_weights(wq, by, nph)
+            mats, _ = pack_psrp_weights(wq, by, nph, cins=cins)
             fn = lambda *xs: conv3x3_psrp(
                 xs, tuple(jnp.asarray(m) for m in mats),
                 jnp.ones(cout, jnp.float32), jnp.zeros(cout, jnp.float32),

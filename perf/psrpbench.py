@@ -52,7 +52,7 @@ def probe(name, H, W, by, nph, cins, cout, tg, pool=False):
     )
     mats, _ = pack_psrp_weights(
         rng.integers(-20, 20, (3, 3, sum(cins), cout)).astype(np.int8),
-        by, nph,
+        by, nph, cins=cins,
     )
     mats = tuple(jnp.asarray(m) for m in mats)
     scale = jnp.full((cout,), 1e-3, jnp.float32)

@@ -180,7 +180,7 @@ def quantize_unet_psrp(layers, taps, init_features: int = 32):
             w[:, :, cins[0]:, :] *= skip_scale[name]
         w_q, s_w = _quant_w(w)
         q[name]["w_q"], q[name]["s_w"] = w_q, s_w
-        mats, _ = pack_psrp_weights(w_q, by, nph)
+        mats, _ = pack_psrp_weights(w_q, by, nph, cins=cins)
         q[name]["w_psrp"] = tuple(mats)
     for name in ("blk5_conv0", "blk6_conv0"):
         w = layers[name]["w"].copy()

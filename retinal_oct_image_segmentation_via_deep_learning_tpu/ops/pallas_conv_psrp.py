@@ -117,17 +117,25 @@ def _phase_taps(nph: int):
     return out
 
 
-def pack_psrp_weights(w, by: int, nph: int):
+def pack_psrp_weights(w, by: int, nph: int, cins=None):
     """(3, 3, cin_tot, cout) -> per out-phase, per ws-group banded matrices.
 
     Returns (mats, meta): mats is a flat list of (K, by*cout) int8 arrays in
     (phi', group) order; meta[phi'] = [(ws, ntaps), ...] mirrors
     ``_phase_taps``. K = ntaps*(by+2)*cin_tot with row order (tap, j, ci)
-    and band W[(tap,j,ci),(i,co)] = w[j-i, dx_tap, ci, co] for 0<=j-i<=2.
+    for a single input and (tap, k, j, ci_k) when ``cins`` splits cin_tot
+    across k folded-concat inputs — matching the kernel's per-input
+    halo-lane matrices H[k][phi] (lanes (j, ci)) so X is a concat of FULL
+    halo matrices, never per-row 32-lane fragments.
+    Band W[(tap,j,ci),(i,co)] = w[j-i, dx_tap, ci, co] for 0<=j-i<=2.
     """
     kh, kw, cin, cout = w.shape
     assert (kh, kw) == (3, 3)
     w = np.asarray(w)
+    if cins is None:
+        cins = (cin,)
+    assert sum(cins) == cin, (cins, cin)
+    offs = np.cumsum([0] + list(cins))
     mats, meta = [], []
     for groups in _phase_taps(nph):
         gm = []
@@ -137,7 +145,18 @@ def pack_psrp_weights(w, by: int, nph: int):
                 for i in range(by):
                     for ky in range(3):
                         m[t, i + ky, :, i, :] = w[ky, dx]
-            mats.append(m.reshape(len(taps) * (by + 2) * cin, by * cout))
+            m = m.reshape(len(taps) * (by + 2) * cin, by * cout)
+            if len(cins) > 1:
+                # rows (t, j, k, ci) -> (t, k, j, ci)
+                idx = [
+                    (t * (by + 2) + j) * cin + offs[k] + ci
+                    for t in range(len(taps))
+                    for k in range(len(cins))
+                    for j in range(by + 2)
+                    for ci in range(cins[k])
+                ]
+                m = m[np.asarray(idx)]
+            mats.append(m)
             gm.append((ws, len(taps)))
         meta.append(gm)
     return mats, meta
@@ -164,9 +183,14 @@ def _psrp_kernel(tg, by, nph, W2, cins, cout, relu, pool, meta, head, ncp):
         s = pl.program_id(1)
         ns = pl.num_programs(1)
 
-        # per input, per plane: padded row-groups P[k][phi][j] of shape
-        # (tg, W2+2, cin) for j in 0..by+1 (row by*g + j - 1)
-        rows = []
+        # per input, per plane: halo-lane matrix H[k][phi] of shape
+        # (tg, W2, (by+2)*cin), lanes (j, ci) for j in 0..by+1 (row
+        # by*g + j - 1). The body's by rows are already lane-contiguous, so
+        # each H is THREE wide lane pieces (prev row, body, next row) instead
+        # of by+2 per-row fragments — and each H is built once and reused by
+        # every consuming out-phase (up to 3), cutting the VPU concat traffic
+        # that sits between the MXU dots ~4x.
+        halos = []
         for k, cin in enumerate(cins):
             top_ref, body_ref, bot_ref = refs[3 * k : 3 * k + 3]
             per_phase = []
@@ -185,11 +209,10 @@ def _psrp_kernel(tg, by, nph, W2, cins, cout, relu, pool, meta, head, ncp):
                 next_rows = jnp.concatenate(
                     [body[1:, :, :cin], bot_first[None]], axis=0
                 )
-                grp = [prev_rows] + [
-                    body[:, :, i * cin : (i + 1) * cin] for i in range(by)
-                ] + [next_rows]
-                per_phase.append(grp)
-            rows.append(per_phase)
+                per_phase.append(
+                    jnp.concatenate([prev_rows, body, next_rows], axis=-1)
+                )
+            halos.append(per_phase)
 
         wi = 0
         outs = []
@@ -199,11 +222,12 @@ def _psrp_kernel(tg, by, nph, W2, cins, cout, relu, pool, meta, head, ncp):
                 # Concat FIRST (all pieces at sublane offset 0 — legal),
                 # then ONE pad+shift-slice of the big array: Mosaic rejects
                 # per-piece pad+slice (offset mismatch), bisected round 3.
-                pieces = []
-                for _dx, phi_in in taps:
-                    for j in range(by + 2):
-                        for k in range(n_in):
-                            pieces.append(rows[k][phi_in][j])
+                # Weight rows are (tap, k, j, ci) — see pack_psrp_weights.
+                pieces = [
+                    halos[k][phi_in]
+                    for _dx, phi_in in taps
+                    for k in range(n_in)
+                ]
                 X = jnp.concatenate(pieces, axis=-1) if len(pieces) > 1 \
                     else pieces[0]
                 K = X.shape[-1]
@@ -726,13 +750,11 @@ def _stem_conv_kernel(tg, by, nph, W2, c1, cout, meta_s, meta_c, pool):
         for phip in range(nph):
             acc = None
             for ws, taps in taps_by_phase[phip]:
-                pieces = []
-                for _dx, phi_in in taps:
-                    for j in range(jo):
-                        pieces.append(
-                            stem[phi_in][:, :, j * c1 : (j + 1) * c1]
-                        )
-                X = jnp.concatenate(pieces, axis=-1)
+                # stem[phi] lanes are already (jout, c1) = the weight row
+                # order, so each tap's patch is the WHOLE halo matrix.
+                pieces = [stem[phi_in] for _dx, phi_in in taps]
+                X = jnp.concatenate(pieces, axis=-1) if len(pieces) > 1 \
+                    else pieces[0]
                 if ws:
                     X = jnp.pad(X, ((0, 0), (1, 1), (0, 0)))[
                         :, ws + 1 : ws + 1 + W2

@@ -92,7 +92,7 @@ def test_conv3x3_psrp_cat_and_pool():
     w = np.asarray(RNG.integers(-20, 20, (3, 3, sum(cin), cout)), np.int8)
     scale = jnp.asarray(RNG.uniform(1e-3, 2e-3, (cout,)), jnp.float32)
     bias = jnp.asarray(RNG.uniform(-3, 3, (cout,)), jnp.float32)
-    mats, _ = pack_psrp_weights(w, by, nph)
+    mats, _ = pack_psrp_weights(w, by, nph, cins=cin)
     full, pooled = conv3x3_psrp(
         tuple(pack_psrp(x, by, nph) for x in xs),
         tuple(jnp.asarray(m) for m in mats), scale, bias,
