@@ -254,9 +254,13 @@ def unet_psrp_forward(qparams, x, num_classes: int, tg=None):
             interpret=interp,
         )
 
-    if not _os.environ.get("OCTSEG_PSRP_NO_STEM_FUSE"):
+    if _os.environ.get("OCTSEG_PSRP_STEM_FUSE"):
         # fused stem + blk0_conv1 + pool: the full-res stem tensor never
-        # round-trips HBM (bit-identical to the two-kernel path).
+        # round-trips HBM (bit-identical to the two-kernel path). OPT-IN:
+        # on-chip A/B (512^2 b128) measured it 24 ms/batch SLOWER than the
+        # two-kernel path — the in-register stage-1/stage-2 serialization
+        # and the lane-duplicated row-window input outweigh the saved HBM
+        # round-trip. Kept for other geometries / future Mosaic versions.
         by1 = stage_table["blk0_conv1"][0]
         sc0, b0 = eff("blk0_conv0", "blk0_conv0_in", "blk0_conv1_in")
         sc1, b1 = eff("blk0_conv1", "blk0_conv1_in", "blk1_conv0_in")
@@ -362,7 +366,11 @@ def unet_psrp_forward(qparams, x, num_classes: int, tg=None):
 
     lw = qparams["head"]
     by_h, nph_h = stage_table["blk8_conv1"][0], stage_table["blk8_conv1"][1]
-    if _os.environ.get("OCTSEG_PSRP_NO_HEAD_FUSE"):
+    if not _os.environ.get("OCTSEG_PSRP_HEAD_FUSE"):
+        # Fused blk8_conv1+head (below) is also OPT-IN: measured +1.5
+        # ms/batch on-chip — the M=16 head dots serialize inside the conv
+        # kernel and stall its pipeline more than the saved full-res int8
+        # round-trip is worth.
         h = pconv([h], "blk8_conv1", "blk8_conv1_in", "head_in")
         return head_argmax_psrp(
             h, lw["w_head"], s["head_in"] * lw["s_w"], lw["b"], by=by_h,

@@ -7,10 +7,14 @@ import jax
 import jax.numpy as jnp
 
 
-@pytest.mark.parametrize("f", [32, 16, "32d"])
+@pytest.mark.parametrize("f", [32, 16, "32d", "32fused"])
 def test_unet_psrp_forward_matches_int8(f, monkeypatch):
     if f == "32d":  # doubled-(by, nph) f=32 layout (OCTSEG_PSRP_DOUBLE)
         monkeypatch.setenv("OCTSEG_PSRP_DOUBLE", "1")
+        f = 32
+    elif f == "32fused":  # opt-in fused stem+conv1 / conv+head kernels
+        monkeypatch.setenv("OCTSEG_PSRP_STEM_FUSE", "1")
+        monkeypatch.setenv("OCTSEG_PSRP_HEAD_FUSE", "1")
         f = 32
     from retinal_oct_image_segmentation_via_deep_learning_tpu.inference.psrp import (
         quantize_unet_psrp,
