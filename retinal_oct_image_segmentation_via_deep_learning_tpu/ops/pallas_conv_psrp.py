@@ -54,6 +54,17 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+def _compiler_params():
+    """Raise Mosaic's default 16M scoped-VMEM cap (v5e has 128M physical):
+    tg=32 tiles of the 512^2 stages want ~20M. The XLA flag spelling
+    (--xla_tpu_scoped_vmem_limit_kib) is unknown to this build's flag
+    parser, so set it per-kernel instead."""
+    import os
+
+    mb = int(os.environ.get("OCTSEG_PSRP_VMEM_MB", "64"))
+    return pltpu.CompilerParams(vmem_limit_bytes=mb * 2**20)
+
+
 def _snap_tile(n: int, t: int) -> int:
     """Largest divisor of n that is <= t (tile sizes must divide the grid
     extent; deep stages of odd geometries, e.g. H=6 at a 96-row input,
@@ -123,19 +134,18 @@ def pack_psrp_weights(w, by: int, nph: int, cins=None):
     Returns (mats, meta): mats is a flat list of (K, by*cout) int8 arrays in
     (phi', group) order; meta[phi'] = [(ws, ntaps), ...] mirrors
     ``_phase_taps``. K = ntaps*(by+2)*cin_tot with row order (tap, j, ci)
-    for a single input and (tap, k, j, ci_k) when ``cins`` splits cin_tot
-    across k folded-concat inputs — matching the kernel's per-input
-    halo-lane matrices H[k][phi] (lanes (j, ci)) so X is a concat of FULL
-    halo matrices, never per-row 32-lane fragments.
+    — matching both the single-input kernel's halo-lane matrices H[phi]
+    (lanes (j, ci)) and the multi-input fragment assembly, whose pieces
+    interleave (j, k, ci) exactly like the (tap, j, ci_tot) rows.
     Band W[(tap,j,ci),(i,co)] = w[j-i, dx_tap, ci, co] for 0<=j-i<=2.
+    ``cins`` is accepted for call-site symmetry with ``conv3x3_psrp`` and
+    only validated (the row order is cins-independent — on-chip A/B showed
+    the (tap, k, j, ci) reorder + whole-halo concat LOSES on cat stages).
     """
     kh, kw, cin, cout = w.shape
     assert (kh, kw) == (3, 3)
+    assert cins is None or sum(cins) == cin, (cins, cin)
     w = np.asarray(w)
-    if cins is None:
-        cins = (cin,)
-    assert sum(cins) == cin, (cins, cin)
-    offs = np.cumsum([0] + list(cins))
     mats, meta = [], []
     for groups in _phase_taps(nph):
         gm = []
@@ -145,18 +155,7 @@ def pack_psrp_weights(w, by: int, nph: int, cins=None):
                 for i in range(by):
                     for ky in range(3):
                         m[t, i + ky, :, i, :] = w[ky, dx]
-            m = m.reshape(len(taps) * (by + 2) * cin, by * cout)
-            if len(cins) > 1:
-                # rows (t, j, k, ci) -> (t, k, j, ci)
-                idx = [
-                    (t * (by + 2) + j) * cin + offs[k] + ci
-                    for t in range(len(taps))
-                    for k in range(len(cins))
-                    for j in range(by + 2)
-                    for ci in range(cins[k])
-                ]
-                m = m[np.asarray(idx)]
-            mats.append(m)
+            mats.append(m.reshape(len(taps) * (by + 2) * cin, by * cout))
             gm.append((ws, len(taps)))
         meta.append(gm)
     return mats, meta
@@ -183,14 +182,20 @@ def _psrp_kernel(tg, by, nph, W2, cins, cout, relu, pool, meta, head, ncp):
         s = pl.program_id(1)
         ns = pl.num_programs(1)
 
-        # per input, per plane: halo-lane matrix H[k][phi] of shape
-        # (tg, W2, (by+2)*cin), lanes (j, ci) for j in 0..by+1 (row
-        # by*g + j - 1). The body's by rows are already lane-contiguous, so
-        # each H is THREE wide lane pieces (prev row, body, next row) instead
-        # of by+2 per-row fragments — and each H is built once and reused by
-        # every consuming out-phase (up to 3), cutting the VPU concat traffic
-        # that sits between the MXU dots ~4x.
-        halos = []
+        # Patch assembly, A/B'd on-chip (512^2 b128):
+        # * single input: halo-lane matrix H[phi] = (tg, W2, (by+2)*cin),
+        #   lanes (j, ci) for j in 0..by+1 (row by*g + j - 1) — built from
+        #   THREE wide lane pieces (prev row, contiguous body, next row)
+        #   and reused by every consuming out-phase. e1b 4.93 -> 4.49 ms,
+        #   e2b+pool 2.94 -> 2.65.
+        # * folded-cat inputs: per-row fragments interleaved (j, k, ci) as
+        #   in round 3 — whole-halo concat LOST there (d1c0 7.52 -> 8.27:
+        #   two inputs' halos each need their own materialization before
+        #   the per-phase concat re-copies them).
+        # Both produce lanes matching pack_psrp_weights' (tap, j, ci_tot)
+        # row order.
+        rows = []   # n_in > 1: rows[k][phi][j] = (tg, W2, cin)
+        halos = []  # n_in == 1: halos[phi] = (tg, W2, (by+2)*cin)
         for k, cin in enumerate(cins):
             top_ref, body_ref, bot_ref = refs[3 * k : 3 * k + 3]
             per_phase = []
@@ -209,10 +214,22 @@ def _psrp_kernel(tg, by, nph, W2, cins, cout, relu, pool, meta, head, ncp):
                 next_rows = jnp.concatenate(
                     [body[1:, :, :cin], bot_first[None]], axis=0
                 )
-                per_phase.append(
-                    jnp.concatenate([prev_rows, body, next_rows], axis=-1)
-                )
-            halos.append(per_phase)
+                if n_in == 1:
+                    per_phase.append(
+                        jnp.concatenate(
+                            [prev_rows, body, next_rows], axis=-1
+                        )
+                    )
+                else:
+                    per_phase.append(
+                        [prev_rows]
+                        + [body[:, :, i * cin : (i + 1) * cin]
+                           for i in range(by)]
+                        + [next_rows]
+                    )
+            (halos if n_in == 1 else rows).append(per_phase)
+        if n_in == 1:
+            halos = halos[0]
 
         wi = 0
         outs = []
@@ -222,12 +239,15 @@ def _psrp_kernel(tg, by, nph, W2, cins, cout, relu, pool, meta, head, ncp):
                 # Concat FIRST (all pieces at sublane offset 0 — legal),
                 # then ONE pad+shift-slice of the big array: Mosaic rejects
                 # per-piece pad+slice (offset mismatch), bisected round 3.
-                # Weight rows are (tap, k, j, ci) — see pack_psrp_weights.
-                pieces = [
-                    halos[k][phi_in]
-                    for _dx, phi_in in taps
-                    for k in range(n_in)
-                ]
+                if n_in == 1:
+                    pieces = [halos[phi_in] for _dx, phi_in in taps]
+                else:
+                    pieces = [
+                        rows[k][phi_in][j]
+                        for _dx, phi_in in taps
+                        for j in range(by + 2)
+                        for k in range(n_in)
+                    ]
                 X = jnp.concatenate(pieces, axis=-1) if len(pieces) > 1 \
                     else pieces[0]
                 K = X.shape[-1]
@@ -397,6 +417,7 @@ def conv3x3_psrp(inputs, w_mats, scale, bias, *, by, nph, cins,
         out_specs=out_specs if pool else out_specs[0],
         out_shape=out_shape if pool else out_shape[0],
         interpret=interpret,
+        compiler_params=None if interpret else _compiler_params(),
     )(*operands, *w_mats, scale_p, bias_p, *extra)
     return out
 
@@ -465,6 +486,7 @@ def ct_up_psrp(xq, w_mats, scale, bias, *, tr=8, interpret=False):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((N, H, 2, W, 2 * cout), jnp.int8),
         interpret=interpret,
+        compiler_params=None if interpret else _compiler_params(),
     )(xq, *w_mats, scale_p, bias_p)
 
 
@@ -540,6 +562,7 @@ def ct_psrp(p_in, w_mats, scale, bias, *, by_in=2, nph_in=2, tg=8,
             (N, G, 2 * nph_in, W2, by_out * cout), jnp.int8
         ),
         interpret=interpret,
+        compiler_params=None if interpret else _compiler_params(),
     )(p_in, *w_mats, scale_p, bias_p)
 
 
@@ -642,6 +665,7 @@ def stem_psrp(xp, w_mats, scale, bias, *, BY=32, by_out=4, nph=4,
             (N, GB * g2, nph, W2, by_out * cout), jnp.int8
         ),
         interpret=interpret,
+        compiler_params=None if interpret else _compiler_params(),
     )(xp, xp, xp, *w_mats, scale_p, bias_p)
     return out
 
@@ -851,6 +875,7 @@ def stem_conv_psrp(xwin, stem_mats, stem_scale, stem_bias, conv_mats,
         out_specs=out_specs if pool else out_specs[0],
         out_shape=out_shape if pool else out_shape[0],
         interpret=interpret,
+        compiler_params=None if interpret else _compiler_params(),
     )(xwin, *stem_mats, s_scale_p, s_bias_p, *conv_mats, c_scale_p,
       c_bias_p)
 
@@ -936,6 +961,7 @@ def head_argmax_psrp(p, w_packed, scale, bias, *, by, nph, nc, tg=8,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((N, nph, by, G * W2), jnp.int8),
         interpret=interpret,
+        compiler_params=None if interpret else _compiler_params(),
     )(p, w_packed, scale_p, bias_p)
     # (N, nph, by, G*W2) -> (N, H, W): 1-byte/pixel relabeling pass
     return (
