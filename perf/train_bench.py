@@ -42,7 +42,17 @@ def main():
     )
     trainer = Trainer(cfg)
     state = trainer.init_state(jnp.zeros((1, SIZE, SIZE, 1), jnp.bfloat16))
-    step = make_train_step(trainer.model, trainer.loss_fn)
+    if os.environ.get("OCTSEG_BENCH_PACKED"):
+        from retinal_oct_image_segmentation_via_deep_learning_tpu.training.packed_unet import (
+            make_packed_train_step,
+        )
+
+        step = make_packed_train_step(
+            trainer.loss_fn,
+            remat=bool(os.environ.get("OCTSEG_PACKED_REMAT")),
+        )
+    else:
+        step = make_train_step(trainer.model, trainer.loss_fn)
 
     @partial(jax.jit, static_argnums=1, donate_argnums=0)
     def run(state, iters: int):

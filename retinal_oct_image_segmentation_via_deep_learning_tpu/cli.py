@@ -45,6 +45,7 @@ def _build_cfg(args):
         checkpoint_dir=get("checkpoint_dir", None),
         compute_dtype=args.dtype,
         early_stop_patience=get("patience", 50),
+        packed_train=get("packed", False),
     )
 
 
@@ -486,6 +487,12 @@ def main(argv=None):
     t.add_argument("--patience", type=int, default=50)
     t.add_argument("--checkpoint-dir", default=None)
     t.add_argument("--log-file", default=None)
+    t.add_argument(
+        "--packed", nargs="?", const=True, default=False,
+        choices=[True, "remat"],
+        help="packed PSRP bf16 training forward (flagship unet only); "
+        "'remat' additionally checkpoints each block",
+    )
     t.set_defaults(fn=cmd_train)
 
     s = sub.add_parser("smoke", parents=[common])

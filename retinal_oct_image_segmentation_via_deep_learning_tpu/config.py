@@ -70,6 +70,11 @@ class TrainConfig:
     seed: int = 0
     # Dtype policy: "float32" | "bfloat16" (compute dtype; params stay fp32).
     compute_dtype: str = "bfloat16"
+    # Packed (PSRP bf16 Pallas) training forward for the flagship U-Net —
+    # same variable tree/math, ~16-20% faster steps on TPU at 512^2
+    # (training/packed_unet.py). Only valid for model.name == "unet" with
+    # H, W divisible by 16. "remat" additionally checkpoints each block.
+    packed_train: bool | str = False
     # Mesh axis sizes; data parallelism over axis "data".
     mesh_shape: Mapping[str, int] | None = None
     log_every_steps: int = 50

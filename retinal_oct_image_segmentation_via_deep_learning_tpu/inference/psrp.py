@@ -121,16 +121,18 @@ def _psrp_config(f: int):
         return PSRP_STAGES_F16, 8
     raise ValueError(f"PSRP serving supports f in (16, 32), got {f}")
 
-# Per-stage G-tile defaults from the round-3 on-chip sweep
-# (perf/psrpbench.py); ct/head tiles keyed separately.
+# Per-stage G-tile defaults from the round-3 on-chip sweeps
+# (perf/psrpbench.py; re-swept after the per-kernel VMEM cap raise made
+# tg>=32 compilable: 512^2 stages prefer 32, 256^2 stages 64 — e.g.
+# d2c1 2.54 -> 2.09 ms, e2a 2.03 -> 1.76). ct/head tiles keyed separately.
 STAGE_TG = {
-    "blk0_conv1": 16,
-    "blk1_conv0": 16,
-    "blk1_conv1": 16,
-    "blk7_conv0": 16,
-    "blk7_conv1": 16,
-    "blk8_conv0": 16,
-    "blk8_conv1": 16,
+    "blk0_conv1": 32,
+    "blk1_conv0": 64,
+    "blk1_conv1": 64,
+    "blk7_conv0": 64,
+    "blk7_conv1": 64,
+    "blk8_conv0": 32,
+    "blk8_conv1": 32,
     "ct01": 8,   # deep ct2x2 kernels (tr)
     "ct2": 32,   # ct_up_psrp (tr)
     "ct3": 16,   # ct_psrp (tg)

@@ -144,10 +144,23 @@ class Trainer:
             images, labels = next(iter(train_ds.epoch(0)))
             state = self.init_state(images[:1])
 
-        train_step = jax.jit(
-            make_train_step(self.model, self.loss_fn, self.class_weights),
-            donate_argnums=0,
-        )
+        if cfg.packed_train:
+            if cfg.model.name != "unet":
+                raise ValueError(
+                    "packed_train supports only the flagship 'unet' model, "
+                    f"got {cfg.model.name!r}"
+                )
+            from .packed_unet import make_packed_train_step
+
+            step_fn = make_packed_train_step(
+                self.loss_fn, self.class_weights,
+                remat=cfg.packed_train == "remat",
+            )
+        else:
+            step_fn = make_train_step(
+                self.model, self.loss_fn, self.class_weights
+            )
+        train_step = jax.jit(step_fn, donate_argnums=0)
         eval_step = jax.jit(
             make_eval_step(
                 self.model, self.loss_fn, cfg.model.num_classes,
