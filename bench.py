@@ -31,8 +31,12 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+import os
+
 BASELINE_SCANS_PER_SEC = 5000.0
-BATCH = 128  # A/B'd in perf/abench.py: 32->417, 64->686, 128->1143, 256->1161
+# A/B'd in perf/abench.py (early XLA graph): 32->417, 64->686, 128->1143,
+# 256->1161; re-swept on the PSRP graph late round 3 (OCTSEG_BENCH_BATCH).
+BATCH = int(os.environ.get("OCTSEG_BENCH_BATCH", "128"))
 SIZE = 512
 NUM_CLASSES = 10
 

@@ -105,16 +105,28 @@ def _ct(x, ctp, dt):
 
 
 def packed_unet_apply(variables, x, *, tg: int | None = None,
-                      remat: bool = False):
+                      remat: bool = False, deep: str | None = None,
+                      mid: str | None = None):
     """Train-mode forward: (N, H, W, 1) -> (logits (N, H, W, nc) bf16,
     batch_stats updates pytree matching ``variables['batch_stats']``).
 
     Requires H, W divisible by 16 and ``init_features`` such that the
     packed stages' lanes are MXU-friendly (f=32 is the tuned config).
+
+    ``deep`` selects the conv impl for the P(1,1) stages (blk2..blk6,
+    cout >= 4f, where XLA has no lane-padding handicap): "xla"
+    (lax.conv, default — beats the by=1 Pallas kernel by ~10.6 ms/step
+    at 512^2 b16 on-chip) or "psrp". ``mid`` does the same for the H/2
+    stages (blk1/blk7, cout = 2f): "xla" (default — NHWC end-to-end at
+    H/2, no pack/unpack at those boundaries; 131.8 -> 126.8 ms on-chip)
+    or "psrp". Pallas keeps only the full-res cout = f stages, where
+    XLA's 32 -> 128 lane padding costs 4x. A/B'd in perf/packed_bisect.py.
     """
     p = variables["params"]
     dt = jnp.bfloat16
     tg = tg or int(os.environ.get("OCTSEG_PACKED_TG", "8"))
+    deep = deep or os.environ.get("OCTSEG_PACKED_DEEP", "xla")
+    mid = mid or os.environ.get("OCTSEG_PACKED_MID", "xla")
     interp = _interp()
     upd: dict = {}
 
@@ -145,7 +157,28 @@ def packed_unet_apply(variables, x, *, tg: int | None = None,
         upd.update(stats)
         return xp
 
+    def blk_xla(h, blk):
+        def body(h):
+            stats = {}
+            for i in (0, 1):
+                h = jax.lax.conv_general_dilated(
+                    h.astype(dt), W(blk, i).astype(dt), (1, 1), "SAME",
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                )
+                h = _bn_packed(h, 1, BN(blk, i), stats,
+                               f"{blk}/BatchNorm_{i}")
+                h = jax.nn.relu(h)
+            return h, stats
+        if remat:
+            h, stats = jax.checkpoint(body)(h)
+        else:
+            h, stats = body(h)
+        upd.update(stats)
+        return h
+
     def blk_deep(h, blk):
+        if deep == "xla":
+            return blk_xla(h, blk)
         n, hh, ww, c = h.shape
         xp = h.reshape(n, hh, 1, ww, c)
         xp = blk_packed(xp, blk, 1, 1)
@@ -171,10 +204,16 @@ def packed_unet_apply(variables, x, *, tg: int | None = None,
                          BN("UNetBlock_0", 1), upd,
                          "UNetBlock_0/BatchNorm_1", interp)
     h22 = _pool_packed(enc1, 4, 4, f)
-    enc2 = blk_packed(h22, "UNetBlock_1", 2, 2)
-    hp = _pool_packed(enc2, 2, 2, 2 * f)
-    n, g, _, w2, L = hp.shape
-    hd = hp.reshape(n, g, w2, L)  # P(1,1) == NHWC at H/4
+    if mid == "xla":
+        # NHWC end-to-end at H/2: unpack once after the pool, nothing to
+        # repack until the decoder's blk8 boundary
+        enc2 = blk_xla(unpack_psrp(h22, 2, 2), "UNetBlock_1")
+        hd = dpool(enc2)
+    else:
+        enc2 = blk_packed(h22, "UNetBlock_1", 2, 2)
+        hp = _pool_packed(enc2, 2, 2, 2 * f)
+        n, g, _, w2, L = hp.shape
+        hd = hp.reshape(n, g, w2, L)  # P(1,1) == NHWC at H/4
     enc3 = blk_deep(hd, "UNetBlock_2")
     enc4 = blk_deep(dpool(enc3), "UNetBlock_3")
     bott = blk_deep(dpool(enc4), "UNetBlock_4")
@@ -185,9 +224,13 @@ def packed_unet_apply(variables, x, *, tg: int | None = None,
     d = _ct(d, p["ConvTranspose_1"], dt)
     d = blk_deep(jnp.concatenate([d, enc3], axis=-1), "UNetBlock_6")
     d = _ct(d, p["ConvTranspose_2"], dt)
-    dp = pack_psrp(d, 2, 2)
-    d7 = blk_packed(_cat_packed(dp, enc2, 2), "UNetBlock_7", 2, 2)
-    d = _ct(unpack_psrp(d7, 2, 2), p["ConvTranspose_3"], dt)
+    if mid == "xla":
+        d7 = blk_xla(jnp.concatenate([d, enc2], axis=-1), "UNetBlock_7")
+        d = _ct(d7, p["ConvTranspose_3"], dt)
+    else:
+        dp = pack_psrp(d, 2, 2)
+        d7 = blk_packed(_cat_packed(dp, enc2, 2), "UNetBlock_7", 2, 2)
+        d = _ct(unpack_psrp(d7, 2, 2), p["ConvTranspose_3"], dt)
     dp = pack_psrp(d, 4, 4)
     d8 = blk_packed(_cat_packed(dp, enc1, 4), "UNetBlock_8", 4, 4)
     h = unpack_psrp(d8, 4, 4)
@@ -219,7 +262,8 @@ def packed_unet_apply(variables, x, *, tg: int | None = None,
 
 
 def make_packed_train_step(loss_fn, class_weights=None, *,
-                           tg: int | None = None, remat: bool = False):
+                           tg: int | None = None, remat: bool = False,
+                           deep: str | None = None, mid: str | None = None):
     """Drop-in replacement for ``trainer.make_train_step`` on the flagship
     U-Net: same TrainState contract, forward via ``packed_unet_apply``."""
 
@@ -227,7 +271,7 @@ def make_packed_train_step(loss_fn, class_weights=None, *,
         def loss_of(params):
             logits, new_stats = packed_unet_apply(
                 {"params": params, "batch_stats": state.batch_stats},
-                images, tg=tg, remat=remat,
+                images, tg=tg, remat=remat, deep=deep, mid=mid,
             )
             return loss_fn(logits, labels, class_weights), new_stats
 

@@ -49,6 +49,23 @@ def test_forward_and_stats_match(setup):
         )
 
 
+@pytest.mark.parametrize("kw", [{"deep": "xla"}, {"deep": "psrp"},
+                                {"deep": "xla", "mid": "xla"}])
+def test_stage_impls_match(setup, kw):
+    model, v, x = setup
+    a, stats_a = packed_unet_apply(v, x, deep="psrp", mid="psrp")
+    b, stats_b = packed_unet_apply(v, x, **kw)
+    np.testing.assert_allclose(np.asarray(a, np.float32),
+                               np.asarray(b, np.float32),
+                               rtol=0.08, atol=0.08)
+    flat_a = {jax.tree_util.keystr(k): la for k, la in
+              jax.tree_util.tree_leaves_with_path(stats_a)}
+    for kb, lb in jax.tree_util.tree_leaves_with_path(stats_b):
+        np.testing.assert_allclose(
+            np.asarray(flat_a[jax.tree_util.keystr(kb)], np.float32),
+            np.asarray(lb, np.float32), rtol=0.05, atol=1e-3)
+
+
 def test_remat_matches_norematerialized(setup):
     model, v, x = setup
     a, stats_a = packed_unet_apply(v, x)
