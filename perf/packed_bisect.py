@@ -9,6 +9,8 @@ Variants (each = full train step unless noted):
   psrp_deep  — deep stages on the by=1 Pallas kernel (the pre-A/B default)
   xla_mid    — deep AND H/2 stages (blk1/blk7) on XLA (NHWC end-to-end
                at H/2, no pack/unpack at those boundaries)
+  fusedloss  — dice_ce via the one-pass Pallas kernel on a class-major
+               head (ops/pallas_loss; same math)
   nostats    — BN uses an affine transform only (no batch statistics;
                wrong math, measures the stats+bwd traffic cost)
   noct       — transpose convs replaced by nearest-neighbor upsample +
@@ -77,6 +79,9 @@ def measure(name):
 
     loss_fn = trainer.loss_fn
     deep = mid = None
+    fused = None
+    if name == "fusedloss":
+        fused = True
     if name == "sumloss":
         def loss_fn(logits, labels, cw=None):
             return jnp.sum(logits.astype(jnp.float32)) * 1e-9
@@ -92,13 +97,30 @@ def measure(name):
         packed_unet._ct = ct_cheap
 
     try:
-        if name == "fwdonly":
+        if name == "nchwhead":
+            # NCHW head + XLA loss on transposed-back logits: isolates the
+            # class-major head einsum cost from the Pallas loss kernel
+            def step(st, x, y):
+                def loss_of(params):
+                    logits, new_stats = packed_unet_apply(
+                        {"params": params, "batch_stats": st.batch_stats},
+                        x, logits_layout="nchw",
+                    )
+                    return (trainer.loss_fn(logits.transpose(0, 2, 3, 1), y),
+                            new_stats)
+
+                (loss, new_stats), grads = jax.value_and_grad(
+                    loss_of, has_aux=True)(st.params)
+                st = st.apply_gradients(grads=grads)
+                return st.replace(batch_stats=new_stats), loss
+        elif name == "fwdonly":
             def step(st, x, y):
                 logits, _ = packed_unet_apply(
                     {"params": st.params, "batch_stats": st.batch_stats}, x)
                 return st, jnp.sum(logits.astype(jnp.float32)) * 1e-9
         else:
-            step = make_packed_train_step(loss_fn, deep=deep, mid=mid)
+            step = make_packed_train_step(loss_fn, deep=deep, mid=mid,
+                                          fused_loss=fused)
 
         @partial(jax.jit, static_argnums=1, donate_argnums=0)
         def run(state, iters: int):

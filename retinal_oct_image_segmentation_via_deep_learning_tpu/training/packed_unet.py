@@ -106,7 +106,8 @@ def _ct(x, ctp, dt):
 
 def packed_unet_apply(variables, x, *, tg: int | None = None,
                       remat: bool = False, deep: str | None = None,
-                      mid: str | None = None):
+                      mid: str | None = None,
+                      logits_layout: str = "nhwc"):
     """Train-mode forward: (N, H, W, 1) -> (logits (N, H, W, nc) bf16,
     batch_stats updates pytree matching ``variables['batch_stats']``).
 
@@ -236,11 +237,20 @@ def packed_unet_apply(variables, x, *, tg: int | None = None,
     h = unpack_psrp(d8, 4, 4)
 
     hk = p["Conv_0"]["Conv_0"]
-    logits = (
-        jnp.einsum("nhwc,co->nhwo", h.astype(dt),
-                   hk["kernel"][0, 0].astype(dt))
-        + hk["bias"].astype(dt)
-    )
+    if logits_layout == "nchw":
+        # class-major head for the fused Pallas loss (ops/pallas_loss):
+        # the layout change folds into the head matmul, no transpose op
+        logits = (
+            jnp.einsum("nhwc,co->nohw", h.astype(dt),
+                       hk["kernel"][0, 0].astype(dt))
+            + hk["bias"].astype(dt)[None, :, None, None]
+        )
+    else:
+        logits = (
+            jnp.einsum("nhwc,co->nhwo", h.astype(dt),
+                       hk["kernel"][0, 0].astype(dt))
+            + hk["bias"].astype(dt)
+        )
 
     # running-stat updates in the model's batch_stats tree structure
     old = variables["batch_stats"]
@@ -263,17 +273,34 @@ def packed_unet_apply(variables, x, *, tg: int | None = None,
 
 def make_packed_train_step(loss_fn, class_weights=None, *,
                            tg: int | None = None, remat: bool = False,
-                           deep: str | None = None, mid: str | None = None):
+                           deep: str | None = None, mid: str | None = None,
+                           fused_loss: bool | None = None):
     """Drop-in replacement for ``trainer.make_train_step`` on the flagship
-    U-Net: same TrainState contract, forward via ``packed_unet_apply``."""
+    U-Net: same TrainState contract, forward via ``packed_unet_apply``.
+
+    ``fused_loss=True`` (only valid when the objective is dice_ce)
+    replaces ``loss_fn`` with the one-pass Pallas kernel twin
+    (``ops.pallas_loss.dice_ce_loss_pallas``) on a class-major head —
+    same value/gradients to float tolerance."""
+    if fused_loss is None:
+        fused_loss = bool(int(os.environ.get("OCTSEG_PACKED_FUSED_LOSS",
+                                             "0")))
 
     def train_step(state, images, labels):
         def loss_of(params):
             logits, new_stats = packed_unet_apply(
                 {"params": params, "batch_stats": state.batch_stats},
                 images, tg=tg, remat=remat, deep=deep, mid=mid,
+                logits_layout="nchw" if fused_loss else "nhwc",
             )
-            return loss_fn(logits, labels, class_weights), new_stats
+            if fused_loss:
+                from ..ops.pallas_loss import dice_ce_loss_pallas
+
+                loss = dice_ce_loss_pallas(logits, labels, class_weights,
+                                           nchw=True)
+            else:
+                loss = loss_fn(logits, labels, class_weights)
+            return loss, new_stats
 
         (loss, new_stats), grads = jax.value_and_grad(
             loss_of, has_aux=True)(state.params)

@@ -116,6 +116,47 @@ def test_trainer_fit_packed():
     assert np.isfinite(trainer.history[-1]["train_loss"])
 
 
+def test_fused_loss_step_matches(setup):
+    """make_packed_train_step(fused_loss=True) (NCHW head + Pallas
+    dice_ce) computes the same loss as the XLA-loss step on a
+    kernel-supported width (W % 128 == 0)."""
+    from retinal_oct_image_segmentation_via_deep_learning_tpu.training.losses import (
+        dice_ce_loss,
+    )
+    from retinal_oct_image_segmentation_via_deep_learning_tpu.training.packed_unet import (
+        make_packed_train_step,
+    )
+    from retinal_oct_image_segmentation_via_deep_learning_tpu.training.train_state import (
+        TrainState,
+    )
+    import optax
+
+    model, v, _ = setup
+    x = jnp.asarray(
+        np.random.default_rng(11).standard_normal((2, 32, 128, 1)),
+        jnp.bfloat16,
+    )
+    v2 = model.init(jax.random.PRNGKey(1), x[:1], train=True)
+    y = jnp.asarray(np.random.default_rng(12).integers(0, 7, (2, 32, 128)))
+    state = TrainState.create(
+        apply_fn=model.apply, params=v2["params"],
+        tx=optax.adam(1e-3), batch_stats=v2["batch_stats"],
+    )
+    s_ref, l_ref = make_packed_train_step(dice_ce_loss)(state, x, y)
+    s_got, l_got = make_packed_train_step(
+        dice_ce_loss, fused_loss=True)(state, x, y)
+    assert abs(float(l_ref) - float(l_got)) < 0.02 * max(1.0, float(l_ref))
+    # parameter updates agree leaf-wise (same grads to bf16 tolerance)
+    for (k, a), (_, b) in zip(
+        jax.tree_util.tree_leaves_with_path(s_ref.params),
+        jax.tree_util.tree_leaves_with_path(s_got.params),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(b, np.float32),
+            rtol=0.1, atol=2e-3, err_msg=jax.tree_util.keystr(k),
+        )
+
+
 def test_grads_flow_and_match_direction(setup):
     model, v, x = setup
     y = jnp.asarray(
