@@ -141,8 +141,46 @@ def cmd_infer(args):
             "layouts shard over data, not space — see parallel/serving)"
         )
     if getattr(args, "quantize", "off") != "off":
+        if cfg.model.name == "relaynet":
+            # second zoo model on the PTQ pipeline (all-XLA int8 graph)
+            if args.quantize != "int8" or getattr(args, "spatial", 1) > 1:
+                raise SystemExit(
+                    "--model relaynet supports --quantize int8 "
+                    "(single-device)"
+                )
+            from .inference.relaynet_int8 import (
+                calibrate_relaynet,
+                fold_relaynet_bn,
+                quantize_relaynet,
+                relaynet_int8_forward,
+            )
+
+            variables = {"params": state.params,
+                         "batch_stats": state.batch_stats}
+            xs = trainer._preprocess(images).astype(jnp.float32)
+            layers = fold_relaynet_bn(variables)
+            taps = calibrate_relaynet(layers, [xs[: min(4, xs.shape[0])]])
+            qp = jax.tree.map(jnp.asarray, quantize_relaynet(layers, taps))
+            preds = jnp.argmax(relaynet_int8_forward(qp, xs), axis=-1)
+            os.makedirs(args.out_dir, exist_ok=True)
+            import numpy as np_
+
+            np_.save(os.path.join(args.out_dir, "masks.npy"),
+                     np_.asarray(preds))
+            if args.export_probs:
+                logits = trainer.model.apply(
+                    variables, trainer._preprocess(images), train=False
+                )
+                probs = jax.nn.softmax(
+                    logits.astype(jnp.float32), axis=-1)[..., 1]
+                export_prob_maps(probs, args.out_dir, names)
+            print(f"wrote {preds.shape[0]} masks to {args.out_dir}")
+            return
         if cfg.model.name != "unet":
-            raise SystemExit("--quantize supports --model unet only")
+            raise SystemExit(
+                "--quantize supports --model unet (int8/packed/psrp) or "
+                "relaynet (int8)"
+            )
         from .inference import (
             calibrate_unet,
             fold_unet_bn,

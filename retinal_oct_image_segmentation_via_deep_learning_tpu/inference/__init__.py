@@ -6,6 +6,12 @@ from .psrp import (  # noqa: F401
     quantize_unet_psrp,
     unet_psrp_forward,
 )
+from .relaynet_int8 import (  # noqa: F401
+    calibrate_relaynet,
+    fold_relaynet_bn,
+    quantize_relaynet,
+    relaynet_int8_forward,
+)
 from .quantized import (  # noqa: F401
     calibrate_unet,
     fold_unet_bn,

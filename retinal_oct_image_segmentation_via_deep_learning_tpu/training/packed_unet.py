@@ -124,6 +124,12 @@ def packed_unet_apply(variables, x, *, tg: int | None = None,
     XLA's 32 -> 128 lane padding costs 4x. A/B'd in perf/packed_bisect.py.
     """
     p = variables["params"]
+    _, H, W_, _ = x.shape
+    if H % 16 or W_ % 16:
+        raise ValueError(
+            "packed_unet_apply needs H, W divisible by 16 (4 pools + the "
+            f"P(4,4) packing), got {(H, W_)}"
+        )
     dt = jnp.bfloat16
     tg = tg or int(os.environ.get("OCTSEG_PACKED_TG", "8"))
     deep = deep or os.environ.get("OCTSEG_PACKED_DEEP", "xla")

@@ -157,6 +157,12 @@ def test_fused_loss_step_matches(setup):
         )
 
 
+def test_bad_geometry_raises(setup):
+    model, v, _ = setup
+    with pytest.raises(ValueError, match="divisible by 16"):
+        packed_unet_apply(v, jnp.zeros((1, 24, 32, 1), jnp.bfloat16))
+
+
 def test_grads_flow_and_match_direction(setup):
     model, v, x = setup
     y = jnp.asarray(
