@@ -79,6 +79,15 @@ def _build():
                 pool, it % pool.shape[0], keepdims=False
             )
             x = (x.astype(jnp.float32) / 65536.0) - 0.5
+            if os.environ.get("OCTSEG_BENCH_PREPROC"):
+                # ingest->mask variant: fused per-scan z-score normalize
+                # ahead of inference, per the north-star pipeline phrasing
+                # (BASELINE.json). Measured cost recorded in docs/PERF.md.
+                from retinal_oct_image_segmentation_via_deep_learning_tpu.ops.preprocess import (
+                    zscore,
+                )
+
+                x = zscore(x)
             lab = unet_psrp_forward(qparams, x, NUM_CLASSES)
             return carry + jnp.sum(lab, dtype=jnp.int32), None
 
@@ -86,6 +95,31 @@ def _build():
         return total
 
     return qparams, lambda qp_, key_, iters: run(qp_, pool, iters)
+
+
+def _psrp_agreement(psrp_params) -> float:
+    """On-chip argmax agreement of the PSRP graph vs the all-XLA int8 graph
+    on one batch (same fold/calibration). Guards the headline: a Mosaic
+    regression that miscompiles a kernel now fails the bench into the
+    fallback metric instead of shipping a fast-but-wrong number."""
+    from retinal_oct_image_segmentation_via_deep_learning_tpu.inference.psrp import (
+        unet_psrp_forward,
+    )
+    from retinal_oct_image_segmentation_via_deep_learning_tpu.inference.quantized import (
+        unet_int8_forward,
+    )
+
+    int8_params, _ = _build_int8_fallback()
+    x = jax.jit(lambda k: jax.random.normal(
+        k, (8, SIZE, SIZE, 1), jnp.float32
+    ))(jax.random.PRNGKey(7))
+    lab_p = jax.jit(
+        lambda qp, x: unet_psrp_forward(qp, x, NUM_CLASSES)
+    )(psrp_params, x)
+    lab_i = jax.jit(
+        lambda qp, x: jnp.argmax(unet_int8_forward(qp, x), -1).astype(jnp.int8)
+    )(int8_params, x)
+    return float(jnp.mean((lab_p == lab_i).astype(jnp.float32)))
 
 
 def _time(run, params, iters):
@@ -147,8 +181,16 @@ def main():
     import sys
 
     metric = "unet_512x512_infer_int8_psrp"
+    if os.environ.get("OCTSEG_BENCH_PREPROC"):
+        metric += "_pipeline"
     try:
         params, run = _build()
+        agree = _psrp_agreement(params)
+        if agree < 0.99:  # suite-enforced on-chip numerics contract
+            raise RuntimeError(
+                f"PSRP argmax agreement vs all-XLA int8 = {agree:.4f} < 0.99"
+            )
+        print(f"PSRP vs int8 argmax agreement: {agree:.4f}", file=sys.stderr)
         t_short = _time(run, params, 2)
     except Exception as e:  # Pallas/Mosaic failure -> honest XLA fallback
         print(f"PSRP path failed ({e!r}); falling back to all-XLA int8",

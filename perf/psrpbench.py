@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 
 BATCH = 128
-SHORT, LONG = 2, 10
+SHORT, LONG = 2, int(os.environ.get("OCTSEG_BENCH_LONG", "10"))
 
 # name: (H, W, by, nph, cins, cout)
 STAGES = {
@@ -32,10 +32,11 @@ STAGES = {
 }
 
 
-def probe(name, H, W, by, nph, cins, cout, tg, pool=False):
+def probe(name, H, W, by, nph, cins, cout, tg, pool=False, variant="v1"):
     from retinal_oct_image_segmentation_via_deep_learning_tpu.ops.pallas_conv_psrp import (
         conv3x3_psrp,
         pack_psrp_weights,
+        pack_psrp_weights_v2,
     )
 
     rng = np.random.default_rng(0)
@@ -50,10 +51,11 @@ def probe(name, H, W, by, nph, cins, cout, tg, pool=False):
         )(jax.random.PRNGKey(17 + i))
         for i, c in enumerate(cins)
     )
-    mats, _ = pack_psrp_weights(
-        rng.integers(-20, 20, (3, 3, sum(cins), cout)).astype(np.int8),
-        by, nph, cins=cins,
-    )
+    wq = rng.integers(-20, 20, (3, 3, sum(cins), cout)).astype(np.int8)
+    if variant == "v2":
+        mats = pack_psrp_weights_v2(wq, by, nph, cins=cins)
+    else:
+        mats, _ = pack_psrp_weights(wq, by, nph, cins=cins)
     mats = tuple(jnp.asarray(m) for m in mats)
     scale = jnp.full((cout,), 1e-3, jnp.float32)
     bias = jnp.zeros((cout,), jnp.float32)
@@ -63,7 +65,7 @@ def probe(name, H, W, by, nph, cins, cout, tg, pool=False):
         def body(c, i):
             sc = scale + i.astype(jnp.float32) * 1e-12
             y = conv3x3_psrp(ps, mats, sc, bias, by=by, nph=nph,
-                             cins=cins, tg=tg, pool=pool)
+                             cins=cins, tg=tg, pool=pool, variant=variant)
             if pool:
                 y = y[0]
             return c + y[0, 0, 0, 0, 0].astype(jnp.int32), None
@@ -77,7 +79,7 @@ def probe(name, H, W, by, nph, cins, cout, tg, pool=False):
     flops = 2 * BATCH * H * W * 9 * sum(cins) * cout
     print(
         f"{name:5s} {H}^2 by={by} nph={nph} {sum(cins):3d}->{cout:3d} "
-        f"tg={tg:2d}{' pool' if pool else ''}: "
+        f"tg={tg:2d} {variant}{' pool' if pool else ''}: "
         f"{per_iter*1e3:7.2f} ms  {flops/per_iter/1e12:6.1f} TFLOPs",
         flush=True,
     )
@@ -89,10 +91,12 @@ if __name__ == "__main__":
     for a in args:
         name, _, ov = a.partition(":")
         H, W, by, nph, cins, cout = STAGES[name]
-        tg, pool = 8, False
+        tg, pool, variant = 8, False, "v1"
         for o in ov.split(","):
             if o.startswith("tg="):
                 tg = int(o[3:])
             elif o == "pool":
                 pool = True
-        probe(name, H, W, by, nph, cins, cout, tg, pool)
+            elif o in ("v1", "v2"):
+                variant = o
+        probe(name, H, W, by, nph, cins, cout, tg, pool, variant)

@@ -161,17 +161,57 @@ def pack_psrp_weights(w, by: int, nph: int, cins=None):
     return mats, meta
 
 
+def pack_psrp_weights_v2(w, by: int, nph: int, cins=None):
+    """(3, 3, cin_tot, cout) -> per (out-phase, tap, input) banded matrices.
+
+    The round-4 "assembly-free" weight layout: one ((by+2)*cin_k, by*cout)
+    banded matrix per (phi', dx-tap, input k), consumed by the v2 kernel
+    against that input's per-phase halo matrix directly — no cross-phase or
+    cross-input lane-concat ever happens (the round-3 per-stage floor
+    analysis measured the by=4/cin=32 stages VPU patch-assembly-bound at
+    ~150 useful-TFLOPs vs the family's 301 demonstrated; the assembly was
+    the per-out-phase concat of 3 halos / 18 row fragments).
+
+    Same MXU passes as the fused-group v1 matrices (the MXU streams K), and
+    identical numerics: rows are halo lanes (j, ci_k) with j=0 the previous
+    row, j=1..by the body, j=by+1 the next row.
+    """
+    kh, kw, cin_tot, cout = w.shape
+    assert (kh, kw) == (3, 3)
+    cins = tuple(cins) if cins is not None else (cin_tot,)
+    assert sum(cins) == cin_tot, (cins, cin_tot)
+    w = np.asarray(w)
+    offs = np.cumsum((0,) + cins)
+    mats = []
+    for groups in _phase_taps(nph):
+        for _ws, taps in groups:
+            for dx, _phi_in in taps:
+                for k, cin in enumerate(cins):
+                    m = np.zeros((by + 2, cin, by, cout), w.dtype)
+                    for i in range(by):
+                        for ky in range(3):
+                            m[i + ky, :, i, :] = w[
+                                ky, dx, offs[k] : offs[k + 1], :
+                            ]
+                    mats.append(m.reshape((by + 2) * cin, by * cout))
+    return mats
+
+
 # ---------------------------------------------------------------------------
 # PSRP 3x3 conv (+ folded skip concat, + fused pool epilogue)
 # ---------------------------------------------------------------------------
 
 
-def _psrp_kernel(tg, by, nph, W2, cins, cout, relu, pool, meta, head, ncp):
+def _psrp_kernel(tg, by, nph, W2, cins, cout, relu, pool, meta, head, ncp,
+                 variant="v1"):
     taps_by_phase = _phase_taps(nph)
     n_in = len(cins)
 
     def kernel(*refs):
-        nw = sum(len(g) for g in meta)
+        if variant == "v2":
+            nw = 3 * nph * n_in
+        else:
+            nw = sum(len(g) for g in meta)
         w_refs = refs[3 * n_in : 3 * n_in + nw]
         scale_ref, bias_ref = refs[3 * n_in + nw : 3 * n_in + nw + 2]
         if head:
@@ -194,8 +234,9 @@ def _psrp_kernel(tg, by, nph, W2, cins, cout, relu, pool, meta, head, ncp):
         #   the per-phase concat re-copies them).
         # Both produce lanes matching pack_psrp_weights' (tap, j, ci_tot)
         # row order.
-        rows = []   # n_in > 1: rows[k][phi][j] = (tg, W2, cin)
-        halos = []  # n_in == 1: halos[phi] = (tg, W2, (by+2)*cin)
+        want_halos = variant == "v2" or n_in == 1
+        rows = []   # v1, n_in > 1: rows[k][phi][j] = (tg, W2, cin)
+        halos = []  # halos[k][phi] = (tg, W2, (by+2)*cin)
         for k, cin in enumerate(cins):
             top_ref, body_ref, bot_ref = refs[3 * k : 3 * k + 3]
             per_phase = []
@@ -214,7 +255,7 @@ def _psrp_kernel(tg, by, nph, W2, cins, cout, relu, pool, meta, head, ncp):
                 next_rows = jnp.concatenate(
                     [body[1:, :, :cin], bot_first[None]], axis=0
                 )
-                if n_in == 1:
+                if want_halos:
                     per_phase.append(
                         jnp.concatenate(
                             [prev_rows, body, next_rows], axis=-1
@@ -227,8 +268,24 @@ def _psrp_kernel(tg, by, nph, W2, cins, cout, relu, pool, meta, head, ncp):
                            for i in range(by)]
                         + [next_rows]
                     )
-            (halos if n_in == 1 else rows).append(per_phase)
-        if n_in == 1:
+            (halos if want_halos else rows).append(per_phase)
+        if variant == "v2":
+            # v2 pre-shifts the (at most two) wrap halos per input once;
+            # every other tap consumes a halo with NO further VPU work.
+            shifted = {}
+            for groups in taps_by_phase:
+                for ws, taps in groups:
+                    if not ws:
+                        continue
+                    for _dx, phi_in in taps:
+                        for k in range(n_in):
+                            if (k, phi_in, ws) in shifted:
+                                continue
+                            h = halos[k][phi_in]
+                            shifted[(k, phi_in, ws)] = jnp.pad(
+                                h, ((0, 0), (1, 1), (0, 0))
+                            )[:, ws + 1 : ws + 1 + W2]
+        elif n_in == 1:
             halos = halos[0]
 
         wi = 0
@@ -236,7 +293,24 @@ def _psrp_kernel(tg, by, nph, W2, cins, cout, relu, pool, meta, head, ncp):
         for phip in range(nph):
             acc = None
             for ws, taps in taps_by_phase[phip]:
-                # Concat FIRST (all pieces at sublane offset 0 — legal),
+                if variant == "v2":
+                    # one dot per (tap, input) straight off the halo — zero
+                    # concat; the MXU streams K so the pass count matches
+                    # the fused-group v1 dots.
+                    for dx, phi_in in taps:
+                        for k in range(n_in):
+                            X = (halos[k][phi_in] if not ws
+                                 else shifted[(k, phi_in, ws)])
+                            part = jax.lax.dot_general(
+                                X.reshape(tg * W2, X.shape[-1]),
+                                w_refs[wi][...],
+                                (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.int32,
+                            )
+                            wi += 1
+                            acc = part if acc is None else acc + part
+                    continue
+                # v1: concat FIRST (all pieces at sublane offset 0 — legal),
                 # then ONE pad+shift-slice of the big array: Mosaic rejects
                 # per-piece pad+slice (offset mismatch), bisected round 3.
                 if n_in == 1:
@@ -262,10 +336,18 @@ def _psrp_kernel(tg, by, nph, W2, cins, cout, relu, pool, meta, head, ncp):
                 )
                 wi += 1
                 acc = part if acc is None else acc + part
-            yf = acc.astype(jnp.float32) * scale_ref[0] + bias_ref[0]
-            if relu:
-                yf = jnp.maximum(yf, 0.0)
-            y8 = jnp.clip(jnp.round(yf), -127.0, 127.0).astype(jnp.int8)
+            if variant.endswith("raw"):
+                # perf-diagnostic epilogue (WRONG numerics): isolates the
+                # requant VPU chain from the banded dots. Never shipped.
+                yf = acc.astype(jnp.float32)
+                y8 = acc.astype(jnp.int8)
+            else:
+                yf = acc.astype(jnp.float32) * scale_ref[0] + bias_ref[0]
+                # relu folds into the clip's lower bound (exact: round and
+                # max commute on monotone ops) — one fewer VPU pass per
+                # output element on the epilogue-bound 32-cout stages.
+                lo = 0.0 if relu else -127.0
+                y8 = jnp.clip(jnp.round(yf), lo, 127.0).astype(jnp.int8)
             if head:
                 # Fused 1x1-head + argmax epilogue (blk8_conv1 + head in one
                 # pass): the full-res int8 tensor never round-trips HBM
@@ -289,7 +371,11 @@ def _psrp_kernel(tg, by, nph, W2, cins, cout, relu, pool, meta, head, ncp):
 
         if pool:
             # fused 2x2/2 max pool: plane-pair max (W half) + row-pair
-            # lane-group max (H half) in fp32 (exact: round/clip monotone).
+            # lane-group max (H half) in fp32 (exact: round/clip monotone,
+            # and the producing conv's relu folds into the clip's lower
+            # bound the same way it does in the main epilogue).
+            plo = (0.0 if relu else -127.0) if not variant.endswith("raw") \
+                else -127.0
             p_ref = refs[3 * n_in + nw + 3]
             for u in range(nph // 2):
                 m = jnp.maximum(outs[2 * u], outs[2 * u + 1])
@@ -304,20 +390,23 @@ def _psrp_kernel(tg, by, nph, W2, cins, cout, relu, pool, meta, head, ncp):
                     ],
                     axis=-1,
                 )
-                rp = jnp.clip(jnp.round(rp), -127.0, 127.0).astype(jnp.int8)
+                rp = jnp.clip(jnp.round(rp), plo, 127.0).astype(jnp.int8)
                 p_ref[0, :, u] = rp
 
     return kernel
 
 
 @partial(jax.jit, static_argnames=("by", "nph", "cins", "relu", "tg",
-                                   "pool", "interpret"))
+                                   "pool", "interpret", "variant"))
 def conv3x3_psrp(inputs, w_mats, scale, bias, *, by, nph, cins,
-                 relu=True, tg=8, pool=False, head=None, interpret=False):
+                 relu=True, tg=8, pool=False, head=None, interpret=False,
+                 variant="v1"):
     """PSRP int8 3x3 conv (+ optional folded skip concat + fused pool).
 
     inputs: tuple of PSRP tensors (N, G, nph, W2, by*cin_k). w_mats: tuple
-    from ``pack_psrp_weights`` (same cat-channel order as cins). Returns
+    from ``pack_psrp_weights`` (variant="v1", fused ws-group dots) or
+    ``pack_psrp_weights_v2`` (variant="v2", one dot per (tap, input) with
+    zero cross-phase/cross-input lane-concat). Returns
     packed (N, G, nph, W2, by*cout); with pool=True also a second output
     (N, G, nph//2, W2, (by//2)*cout) — the 2x2/2-pooled tensor in the next
     stage's PSRP layout (nph=2 pools to the plain unpacked layout via
@@ -411,7 +500,7 @@ def conv3x3_psrp(inputs, w_mats, scale, bias, *, by, nph, cins,
 
     out = pl.pallas_call(
         _psrp_kernel(tg, by, nph, W2, tuple(cins), cout, relu, pool, meta,
-                     head is not None, ncp),
+                     head is not None, ncp, variant),
         grid=(N, S),
         in_specs=in_specs,
         out_specs=out_specs if pool else out_specs[0],

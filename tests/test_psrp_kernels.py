@@ -315,3 +315,42 @@ def test_pool2x2_int8_matches_reshape_max():
     n, h, w, c = x.shape
     want = jnp.max(x.reshape(n, h // 2, 2, w // 2, 2, c), axis=(2, 4))
     assert jnp.array_equal(got, want)
+
+
+@pytest.mark.parametrize("by,nph,cins,cout,pool", [
+    (4, 4, (8,), 8, False),    # 512^2 single-input family
+    (4, 4, (8, 8), 8, False),  # 512^2 folded-cat family (d1c0)
+    (2, 2, (8, 8), 16, True),  # 256^2 cat + fused pool (d2c0-like)
+    (8, 4, (4,), 4, False),    # f=16 by=8 family
+])
+def test_conv3x3_psrp_v2_matches_lax(by, nph, cins, cout, pool):
+    """The round-4 assembly-free variant is bit-exact vs lax.conv."""
+    from retinal_oct_image_segmentation_via_deep_learning_tpu.ops.pallas_conv_psrp import (
+        pack_psrp_weights_v2,
+    )
+
+    H = W = 16
+    xs = [_rand_int8((2, H, W, c)) for c in cins]
+    w = np.asarray(RNG.integers(-20, 20, (3, 3, sum(cins), cout)), np.int8)
+    scale = jnp.asarray(RNG.uniform(1e-3, 2e-3, (cout,)), jnp.float32)
+    bias = jnp.asarray(RNG.uniform(-3, 3, (cout,)), jnp.float32)
+    mats = pack_psrp_weights_v2(w, by, nph, cins=cins)
+    got = conv3x3_psrp(
+        tuple(pack_psrp(x, by, nph) for x in xs),
+        tuple(jnp.asarray(m) for m in mats), scale, bias,
+        by=by, nph=nph, cins=cins, tg=2, pool=pool, interpret=True,
+        variant="v2",
+    )
+    if pool:
+        got, pooled = got
+    want = _ref_conv(jnp.concatenate(xs, -1) if len(xs) > 1 else xs[0],
+                     jnp.asarray(w), scale, bias)
+    assert jnp.array_equal(unpack_psrp(got, by, nph), want)
+    if pool:
+        want_pool = jax.lax.reduce_window(
+            want, jnp.int8(-128), jax.lax.max, (1, 2, 2, 1), (1, 2, 2, 1),
+            "VALID",
+        )
+        got_pool = (unpack_psrp(pooled, by // 2, nph // 2)
+                    if nph > 2 else pooled.reshape(2, H // 2, W // 2, cout))
+        assert jnp.array_equal(got_pool, want_pool)
