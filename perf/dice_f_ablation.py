@@ -41,6 +41,13 @@ def main():
     ap.add_argument("--val", type=int, default=16)
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--features", type=int, nargs="*", default=[32, 16])
+    # Task-hardness knobs (round-4): the converged 32-epoch run at the
+    # default task saturated BOTH widths at 0.9981 (ceiling effect — it
+    # cannot distinguish capacity). Raise speckle / layer count and shrink
+    # the train set until f=32 itself is off-ceiling, then compare.
+    ap.add_argument("--speckle", type=float, default=0.35)
+    ap.add_argument("--layers", type=int, default=8)
+    ap.add_argument("--lr", type=float, default=1e-3)
     ap.add_argument("--cpu", action="store_true",
                     help="force CPU (leave the tunneled TPU free)")
     args = ap.parse_args()
@@ -49,6 +56,7 @@ def main():
 
     from retinal_oct_image_segmentation_via_deep_learning_tpu.config import (
         ModelConfig,
+        OptimConfig,
         TrainConfig,
     )
     from retinal_oct_image_segmentation_via_deep_learning_tpu.training.data import (
@@ -61,7 +69,8 @@ def main():
     )
 
     scfg = SyntheticOCTConfig(
-        height=args.size, width=args.size, num_layers=8, fluid=True, seed=5
+        height=args.size, width=args.size, num_layers=args.layers,
+        fluid=True, speckle=args.speckle, seed=5,
     )
     nc = scfg.num_classes
     train = SyntheticOCTDataset(scfg, num_samples=args.train,
@@ -74,6 +83,7 @@ def main():
         cfg = TrainConfig(
             model=ModelConfig(name="unet", num_classes=nc,
                               kwargs={"init_features": f}),
+            optim=OptimConfig(learning_rate=args.lr),
             num_epochs=args.epochs,
             compute_dtype="bfloat16",
             early_stop_patience=None,

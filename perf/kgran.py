@@ -26,12 +26,12 @@ from jax.experimental.pallas import tpu as pltpu
 from common import scan_diff
 
 M = 8192
-SHORT, LONG = 2, 10
-INNER = 32  # dots per kernel invocation to swamp dispatch
+SHORT, LONG = 40, 400
+INNER = 128  # dots per kernel invocation to swamp dispatch
 
 
 def probe(K, N, dtype=jnp.int8, label=""):
-    acc_t = jnp.int32 if dtype == jnp.int8 else jnp.float32
+    acc_t = jnp.float32 if dtype == jnp.bfloat16 else jnp.int32
 
     def kernel(x_ref, w_ref, o_ref):
         acc = None
@@ -46,9 +46,12 @@ def probe(K, N, dtype=jnp.int8, label=""):
         o_ref[...] = acc
 
     def gen(k, shape):
-        if dtype == jnp.int8:
-            return jax.random.randint(k, shape, -100, 100, jnp.int8)
-        return jax.random.normal(k, shape, dtype)
+        if dtype == jnp.bfloat16:
+            return jax.random.normal(k, shape, dtype)
+        lim = 8 if dtype == jnp.int4 else 100
+        # int4 can't cross the jit/device_put boundary on this backend:
+        # keep host-visible arrays int8 and cast in-jit before the kernel
+        return jax.random.randint(k, shape, -lim, lim, jnp.int8)
 
     x = jax.jit(lambda k: gen(k, (M, K)))(jax.random.PRNGKey(0))
     w = jax.jit(lambda k: gen(k, (INNER, K, N)))(jax.random.PRNGKey(1))
@@ -60,16 +63,22 @@ def probe(K, N, dtype=jnp.int8, label=""):
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
     )
 
-    @partial(jax.jit, static_argnums=1)
-    def run(x, iters: int):
+    @partial(jax.jit, static_argnums=2)
+    def run(x, w, iters: int):
         def body(c, i):
-            y = call(x + i.astype(dtype), w)
+            xi = x + i.astype(x.dtype)
+            if dtype == jnp.int4:
+                y = call(xi.astype(jnp.int4), w.astype(jnp.int4))
+            elif dtype == jnp.bfloat16:
+                y = call(xi, w)
+            else:
+                y = call(xi, w)
             return c + y[0, 0].astype(jnp.float32), None
 
         tot, _ = jax.lax.scan(body, jnp.float32(0), jnp.arange(iters))
         return tot
 
-    per = scan_diff(lambda n: float(run(x, n)), SHORT, LONG) / INNER
+    per = scan_diff(lambda n: float(run(x, w, n)), SHORT, LONG) / INNER
     tops = 2 * M * K * N / per / 1e12
     print(f"{label or dtype.__name__:8s} K={K:4d} N={N:4d}: "
           f"{per*1e6:8.2f} us/dot  {tops:7.1f} TOPs")
@@ -77,15 +86,19 @@ def probe(K, N, dtype=jnp.int8, label=""):
 
 
 def main():
+    import sys
     print(f"M={M}, {INNER} dots/kernel, scan-diff {SHORT}/{LONG}")
-    for K in (128, 192, 256, 384, 512, 576, 768, 1024):
-        probe(K, 128)
-    print("-- N granularity --")
-    for N in (32, 64, 128, 256):
-        probe(512, N)
-    print("-- bf16 reference --")
-    for K in (128, 256, 512):
-        probe(K, 128, jnp.bfloat16, "bf16")
+    specs = sys.argv[1:] or ["384x64", "384x128", "128x64", "128x128",
+                             "192x128", "576x128", "512x128", "1024x128"]
+    for s in specs:
+        k, _, n = s.partition("x")
+        dt = jnp.int8
+        if n.endswith("i4"):
+            n, dt = n[:-2], jnp.int4
+        elif n.endswith("bf16"):
+            n, dt = n[:-4], jnp.bfloat16
+        probe(int(k), int(n), dt, {jnp.int4: "int4",
+                                   jnp.bfloat16: "bf16"}.get(dt, ""))
 
 
 if __name__ == "__main__":

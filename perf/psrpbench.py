@@ -97,6 +97,6 @@ if __name__ == "__main__":
                 tg = int(o[3:])
             elif o == "pool":
                 pool = True
-            elif o in ("v1", "v2"):
+            elif o in ("v1", "v2", "v1raw"):
                 variant = o
         probe(name, H, W, by, nph, cins, cout, tg, pool, variant)

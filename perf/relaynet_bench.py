@@ -24,11 +24,16 @@ NC = 10
 
 
 def main():
+    variant = sys.argv[1] if len(sys.argv) > 1 else "xla"
     from retinal_oct_image_segmentation_via_deep_learning_tpu.inference.relaynet_int8 import (
         calibrate_relaynet,
         fold_relaynet_bn,
         quantize_relaynet,
         relaynet_int8_forward,
+    )
+    from retinal_oct_image_segmentation_via_deep_learning_tpu.inference.relaynet_psrp import (
+        quantize_relaynet_psrp,
+        relaynet_psrp_forward,
     )
     from retinal_oct_image_segmentation_via_deep_learning_tpu.models.relaynet import (
         ReLayNet,
@@ -40,16 +45,24 @@ def main():
     layers = fold_relaynet_bn(v)
     calib = np.random.default_rng(0).standard_normal(
         (2, SIZE, SIZE, 1)).astype(np.float32)
-    qp = jax.tree.map(jnp.asarray,
-                      quantize_relaynet(layers, calibrate_relaynet(
-                          layers, [calib])))
+    taps = calibrate_relaynet(layers, [calib])
+    if variant == "psrp":
+        qp = jax.tree.map(jnp.asarray, quantize_relaynet_psrp(layers, taps))
+
+        def fwd(qp, x):
+            return relaynet_psrp_forward(qp, x, num_classes=NC)
+    else:
+        qp = jax.tree.map(jnp.asarray, quantize_relaynet(layers, taps))
+
+        def fwd(qp, x):
+            return jnp.argmax(relaynet_int8_forward(qp, x), axis=-1)
 
     @partial(jax.jit, static_argnums=(1,))
     def run(qp, iters: int):
         def body(c, k):
             x = jax.random.bits(k, (BATCH, SIZE, SIZE, 1), jnp.uint16)
             x = (x.astype(jnp.float32) / 65536.0) - 0.5
-            y = jnp.argmax(relaynet_int8_forward(qp, x), axis=-1)
+            y = fwd(qp, x)
             return c + jnp.sum(y == 0, dtype=jnp.int32), None
 
         tot, _ = jax.lax.scan(body, jnp.int32(0),
@@ -58,9 +71,10 @@ def main():
 
     from common import scan_diff
 
-    per_batch = scan_diff(lambda n: int(run(qp, n)), 2, 8)
-    print(f"relaynet int8 512^2: {per_batch*1e3:.1f} ms/batch-{BATCH} = "
-          f"{BATCH/per_batch:.0f} scans/s", flush=True)
+    long = int(os.environ.get("OCTSEG_BENCH_LONG", "8"))
+    per_batch = scan_diff(lambda n: int(run(qp, n)), 2, long)
+    print(f"relaynet int8 {variant} 512^2: {per_batch*1e3:.1f} "
+          f"ms/batch-{BATCH} = {BATCH/per_batch:.0f} scans/s", flush=True)
 
 
 if __name__ == "__main__":

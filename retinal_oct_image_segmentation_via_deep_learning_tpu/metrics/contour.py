@@ -146,8 +146,29 @@ def find_contours(array, level: float = 0.5) -> list[np.ndarray]:
     succ = first_match(start_k, end_k)  # segment whose start == my end
     pred = first_match(end_k, start_k)  # segment whose end == my start
 
+    unique_keys = (len(np.unique(start_k)) == n
+                   and len(np.unique(end_k)) == n)
+    if unique_keys:
+        # Vectorized chain assembly (pointer doubling): with unique keys
+        # succ/pred are mutually consistent (succ[i]=j <=> pred[j]=i), so
+        # the scalar walk's `used` guards never fire and chains are exactly
+        # the weakly-connected components of the successor graph. O(n log n)
+        # NumPy work replaces the last O(n)-Python loop in the metrics
+        # layer (round-2/3 concession, closed round 4).
+        groups = _order_chains_vec(succ, pred, n)
+    else:
+        # duplicate endpoint keys (level crossing exactly through grid
+        # corners): keep the original walk's collision semantics
+        groups = _order_chains_walk(succ, pred, n)
+    return [
+        np.concatenate([pts[g, 0], pts[g[-1:], 1]]) for g in groups
+    ]
+
+
+def _order_chains_walk(succ, pred, n):
+    """Scalar chain walk (original semantics, used on endpoint-key ties)."""
     used = np.zeros(n, dtype=bool)
-    contours = []
+    groups = []
     for i in range(n):
         if used[i]:
             continue
@@ -164,11 +185,55 @@ def find_contours(array, level: float = 0.5) -> list[np.ndarray]:
             used[j] = True
             bwd.append(j)
             j = pred[j]
-        idx = np.asarray(bwd[::-1] + fwd)
-        # chain points: every segment's start + the final segment's end
-        chain = np.concatenate([pts[idx, 0], pts[idx[-1:], 1]])
-        contours.append(chain)
-    return contours
+        groups.append(np.asarray(bwd[::-1] + fwd))
+    return groups
+
+
+def _order_chains_vec(succ, pred, n):
+    """Chain components + in-chain order via pointer doubling.
+
+    Matches the scalar walk exactly when succ/pred are mutual: contours are
+    emitted in ascending min-segment-index order (= the walk's scan-order
+    discovery), open chains ordered from their true start, loops broken at
+    their minimum-index segment (where the walk's outer loop enters them).
+    """
+    idx = np.arange(n)
+    # min-index representative per weakly-connected chain (hooking +
+    # path compression: O(log n) rounds)
+    rep = idx.copy()
+    nxt = np.where(succ >= 0, succ, idx)
+    prv = np.where(pred >= 0, pred, idx)
+    for _ in range(n + 1):  # fixpoint reached in far fewer rounds (the
+        # double compression step spreads minima multiplicatively), but the
+        # bound must be safe: an unconverged rep silently splits chains
+        new = np.minimum(rep, np.minimum(rep[nxt], rep[prv]))
+        new = np.minimum(new, new[new])
+        new = np.minimum(new, new[new])
+        if np.array_equal(new, rep):
+            break
+        rep = new
+
+    # loops have no start node (pred >= 0 everywhere): break each at its
+    # representative, where the scalar walk's outer loop would enter
+    has_start = np.zeros(n, dtype=bool)
+    np.logical_or.at(has_start, rep[pred < 0], True)
+    loop_break = (idx == rep) & ~has_start[rep]
+    pred = np.where(loop_break, -1, pred)
+
+    # depth from chain start via pointer doubling
+    depth = np.where(pred >= 0, 1, 0).astype(np.int64)
+    ptr = pred.copy()
+    while (ptr >= 0).any():
+        pi = np.maximum(ptr, 0)
+        step = np.where(ptr >= 0, depth[pi], 0)
+        nxt_ptr = np.where(ptr >= 0, ptr[pi], -1)
+        depth = depth + step
+        ptr = nxt_ptr
+
+    order = np.lexsort((depth, rep))
+    reps_sorted = rep[order]
+    breaks = np.nonzero(np.diff(reps_sorted))[0] + 1
+    return np.split(order, breaks)
 
 
 # ---------------------------------------------------------------------------

@@ -343,11 +343,15 @@ def _psrp_kernel(tg, by, nph, W2, cins, cout, relu, pool, meta, head, ncp,
                 y8 = acc.astype(jnp.int8)
             else:
                 yf = acc.astype(jnp.float32) * scale_ref[0] + bias_ref[0]
-                # relu folds into the clip's lower bound (exact: round and
-                # max commute on monotone ops) — one fewer VPU pass per
-                # output element on the epilogue-bound 32-cout stages.
-                lo = 0.0 if relu else -127.0
-                y8 = jnp.clip(jnp.round(yf), lo, 127.0).astype(jnp.int8)
+                if relu:
+                    yf = jnp.maximum(yf, 0.0)
+                # NOTE: keep the clip bounds EXACTLY (-127, 127): folding
+                # relu into the lower bound (clip 0..127) measured a ~50%
+                # whole-kernel regression on-chip (e1b 4.14 -> 6.4 ms) —
+                # Mosaic pattern-matches the symmetric clip+cast into a
+                # fused saturating f32->s8 convert and the asymmetric
+                # bound breaks it.
+                y8 = jnp.clip(jnp.round(yf), -127.0, 127.0).astype(jnp.int8)
             if head:
                 # Fused 1x1-head + argmax epilogue (blk8_conv1 + head in one
                 # pass): the full-res int8 tensor never round-trips HBM
@@ -371,11 +375,8 @@ def _psrp_kernel(tg, by, nph, W2, cins, cout, relu, pool, meta, head, ncp,
 
         if pool:
             # fused 2x2/2 max pool: plane-pair max (W half) + row-pair
-            # lane-group max (H half) in fp32 (exact: round/clip monotone,
-            # and the producing conv's relu folds into the clip's lower
-            # bound the same way it does in the main epilogue).
-            plo = (0.0 if relu else -127.0) if not variant.endswith("raw") \
-                else -127.0
+            # lane-group max (H half) in fp32 (exact: round/clip monotone).
+            plo = -127.0  # symmetric: see the fused-convert note above
             p_ref = refs[3 * n_in + nw + 3]
             for u in range(nph // 2):
                 m = jnp.maximum(outs[2 * u], outs[2 * u + 1])

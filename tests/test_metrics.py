@@ -219,3 +219,29 @@ def test_volume_boundary_metrics(rng):
     )
     np.testing.assert_allclose(np.asarray(out["thickness_diff"])[:, c],
                                td_ref, atol=1e-4)
+
+
+def test_find_contours_vectorized_chain_order_matches_walk():
+    """The round-4 pointer-doubling chain assembly must reproduce the
+    scalar walk exactly (component split, contour emission order, in-chain
+    point order) on random masks."""
+    import numpy as np
+
+    from retinal_oct_image_segmentation_via_deep_learning_tpu.metrics import (
+        contour as C,
+    )
+
+    rng = np.random.default_rng(42)
+    for _ in range(25):
+        H = W = int(rng.integers(8, 40))
+        m = (rng.random((H, W)) < rng.uniform(0.25, 0.75)).astype(float)
+        got = C.find_contours(m, 0.5)
+        orig = C._order_chains_vec
+        try:
+            C._order_chains_vec = C._order_chains_walk
+            want = C.find_contours(m, 0.5)
+        finally:
+            C._order_chains_vec = orig
+        assert len(got) == len(want)
+        for a, b in zip(got, want):
+            assert a.shape == b.shape and np.allclose(a, b)
