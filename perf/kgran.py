@@ -30,8 +30,11 @@ SHORT, LONG = 40, 400
 INNER = 128  # dots per kernel invocation to swamp dispatch
 
 
-def probe(K, N, dtype=jnp.int8, label=""):
+def probe(K, N, dtype=jnp.int8, label="", w_dtype=None):
+    """w_dtype: mixed-precision dots (e.g. x int8 vs w int4 = 'w4a8') —
+    decides whether the 772-TOPs int4 rate needs int4 activations too."""
     acc_t = jnp.float32 if dtype == jnp.bfloat16 else jnp.int32
+    w_dtype = w_dtype or dtype
 
     def kernel(x_ref, w_ref, o_ref):
         acc = None
@@ -67,12 +70,13 @@ def probe(K, N, dtype=jnp.int8, label=""):
     def run(x, w, iters: int):
         def body(c, i):
             xi = x + i.astype(x.dtype)
-            if dtype == jnp.int4:
-                y = call(xi.astype(jnp.int4), w.astype(jnp.int4))
-            elif dtype == jnp.bfloat16:
+            if dtype == jnp.bfloat16:
                 y = call(xi, w)
             else:
-                y = call(xi, w)
+                y = call(
+                    xi.astype(jnp.int4) if dtype == jnp.int4 else xi,
+                    w.astype(jnp.int4) if w_dtype == jnp.int4 else w,
+                )
             return c + y[0, 0].astype(jnp.float32), None
 
         tot, _ = jax.lax.scan(body, jnp.float32(0), jnp.arange(iters))
@@ -92,13 +96,14 @@ def main():
                              "192x128", "576x128", "512x128", "1024x128"]
     for s in specs:
         k, _, n = s.partition("x")
-        dt = jnp.int8
-        if n.endswith("i4"):
-            n, dt = n[:-2], jnp.int4
+        dt, wdt, lbl = jnp.int8, None, ""
+        if n.endswith("w4a8"):
+            n, wdt, lbl = n[:-4], jnp.int4, "w4a8"
+        elif n.endswith("i4"):
+            n, dt, lbl = n[:-2], jnp.int4, "int4"
         elif n.endswith("bf16"):
-            n, dt = n[:-4], jnp.bfloat16
-        probe(int(k), int(n), dt, {jnp.int4: "int4",
-                                   jnp.bfloat16: "bf16"}.get(dt, ""))
+            n, dt, lbl = n[:-4], jnp.bfloat16, "bf16"
+        probe(int(k), int(n), dt, lbl, w_dtype=wdt)
 
 
 if __name__ == "__main__":

@@ -94,6 +94,39 @@ def cmd_train(args):
     return state
 
 
+def _relaynet_quantized_fwd(variables, calib, quantize, num_classes):
+    """Quantize a ReLayNet checkpoint and return `x -> int32 labels`.
+
+    quantize: 'int8' (all-XLA graph, inference/relaynet_int8.py) or 'psrp'
+    (full-Pallas serving graph, inference/relaynet_psrp.py — 2.1x int8
+    on-chip, docs/PERF.md). calib: preprocessed fp32 calibration batch.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from .inference.relaynet_int8 import (
+        calibrate_relaynet,
+        fold_relaynet_bn,
+        quantize_relaynet,
+        relaynet_int8_forward,
+    )
+
+    layers = fold_relaynet_bn(variables)
+    taps = calibrate_relaynet(layers, [calib[: min(4, calib.shape[0])]])
+    if quantize == "psrp":
+        from .inference.relaynet_psrp import (
+            quantize_relaynet_psrp,
+            relaynet_psrp_forward,
+        )
+
+        qp = jax.tree.map(jnp.asarray, quantize_relaynet_psrp(layers, taps))
+        return lambda x: relaynet_psrp_forward(
+            qp, x, num_classes=num_classes
+        ).astype(jnp.int32)
+    qp = jax.tree.map(jnp.asarray, quantize_relaynet(layers, taps))
+    return lambda x: jnp.argmax(relaynet_int8_forward(qp, x), axis=-1)
+
+
 def cmd_infer(args):
     """Batch inference: folder (or synthetic) -> preprocess -> predict ->
     masks (+ class-1 probability maps, the reference's export convention)."""
@@ -142,26 +175,21 @@ def cmd_infer(args):
         )
     if getattr(args, "quantize", "off") != "off":
         if cfg.model.name == "relaynet":
-            # second zoo model on the PTQ pipeline (all-XLA int8 graph)
-            if args.quantize != "int8" or getattr(args, "spatial", 1) > 1:
+            # second zoo model on the PTQ pipeline: all-XLA int8 graph, or
+            # the full-Pallas PSRP graph (inference/relaynet_psrp.py)
+            if args.quantize not in ("int8", "psrp") or \
+                    getattr(args, "spatial", 1) > 1:
                 raise SystemExit(
-                    "--model relaynet supports --quantize int8 "
+                    "--model relaynet supports --quantize int8|psrp "
                     "(single-device)"
                 )
-            from .inference.relaynet_int8 import (
-                calibrate_relaynet,
-                fold_relaynet_bn,
-                quantize_relaynet,
-                relaynet_int8_forward,
-            )
-
             variables = {"params": state.params,
                          "batch_stats": state.batch_stats}
             xs = trainer._preprocess(images).astype(jnp.float32)
-            layers = fold_relaynet_bn(variables)
-            taps = calibrate_relaynet(layers, [xs[: min(4, xs.shape[0])]])
-            qp = jax.tree.map(jnp.asarray, quantize_relaynet(layers, taps))
-            preds = jnp.argmax(relaynet_int8_forward(qp, xs), axis=-1)
+            fwd = _relaynet_quantized_fwd(
+                variables, xs, args.quantize, cfg.model.num_classes
+            )
+            preds = fwd(xs)
             os.makedirs(args.out_dir, exist_ok=True)
             import numpy as np_
 
@@ -313,7 +341,19 @@ def cmd_eval(args):
         print("note: no --checkpoint given; evaluating random init")
 
     predict_fn = None
-    if getattr(args, "quantize", "off") != "off":
+    if getattr(args, "quantize", "off") != "off" and \
+            cfg.model.name == "relaynet":
+        # second PTQ model on the metric suite: int8 OR psrp serving graph
+        calib_imgs, _ = next(iter(ds.epoch(0)))
+        calib = trainer._preprocess(calib_imgs).astype(jnp.float32)
+        fwd = _relaynet_quantized_fwd(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            calib, args.quantize, trainer.cfg.model.num_classes,
+        )
+        predict_fn = lambda st, imgs: fwd(
+            trainer._preprocess(imgs).astype(jnp.float32)
+        )
+    elif getattr(args, "quantize", "off") != "off":
         # PTQ accuracy cost measured with the SAME metric suite: quantize
         # the (loaded) checkpoint, evaluate the int8/psrp serving graph.
         from .inference import (
@@ -421,9 +461,22 @@ def cmd_serve(args):
     H = W = args.image_size
     nc = cfg.model.num_classes
 
-    if args.quantize != "off":
+    if args.quantize != "off" and cfg.model.name == "relaynet":
+        # ReLayNet ServingLoop path: int8 or psrp quantized graph
+        state = _serve_state(trainer, args, H, W)
+        calib = trainer._preprocess(
+            jnp.zeros((2, H, W, 1), jnp.float32)
+        ).astype(jnp.float32)
+        qfwd = _relaynet_quantized_fwd(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            calib, args.quantize, nc,
+        )
+        fwd = lambda x: qfwd(trainer._preprocess(x).astype(jnp.float32))
+    elif args.quantize != "off":
         if cfg.model.name != "unet":
-            raise SystemExit("--quantize supports --model unet only")
+            raise SystemExit(
+                "--quantize supports --model unet or relaynet"
+            )
         from .inference import (
             calibrate_unet,
             fold_unet_bn,

@@ -158,7 +158,7 @@ def _psrp7_kernel(tg, by, nph, W2, kh, cins, cout, meta, pool):
                 wi += 1
                 acc = part if acc is None else acc + part
             yf = acc.astype(jnp.float32) * scale_ref[0] + bias_ref[0]
-            yf = jnp.where(yf >= 0.0, yf, alpha_ref[0] * yf)  # PReLU
+            yf = jnp.where(yf >= 0.0, yf, alpha_ref[0, 0] * yf)  # PReLU
             yq = jnp.clip(jnp.round(yf), -127.0, 127.0)
             o_ref[0, :, phip] = yq.astype(jnp.int8).reshape(
                 tg, W2, by * cout
@@ -176,15 +176,18 @@ def _psrp7_kernel(tg, by, nph, W2, kh, cins, cout, meta, pool):
             v = [[outs[dx][:, :, dy * cout : (dy + 1) * cout]
                   for dx in range(2)] for dy in range(2)]
             best = v[0][0]
-            idx = jnp.zeros_like(best, dtype=jnp.int8)
+            # idx tracked in fp32: the compare masks have the fp32 (8,128)
+            # native layout, and Mosaic cannot relayout an i1 vector to the
+            # int8 (32,128) tiling an int8 select would need
+            idx = jnp.zeros_like(best)
             for flat, (dy, dx) in enumerate(
                 ((0, 1), (1, 0), (1, 1)), start=1
             ):
                 take = v[dy][dx] > best
                 best = jnp.where(take, v[dy][dx], best)
-                idx = jnp.where(take, jnp.int8(flat), idx)
+                idx = jnp.where(take, jnp.float32(flat), idx)
             p_ref[0] = best.astype(jnp.int8)
-            i_ref[0] = idx
+            i_ref[0] = idx.astype(jnp.int8)
 
     return kernel
 
@@ -320,7 +323,7 @@ def _stem7_kernel(BY, by_out, nph, W2, kh, cout, meta, pool):
                 wi += 1
                 acc = part if acc is None else acc + part
             yf = acc.astype(jnp.float32) * scale_ref[0] + bias_ref[0]
-            yf = jnp.where(yf >= 0.0, yf, alpha_ref[0] * yf)
+            yf = jnp.where(yf >= 0.0, yf, alpha_ref[0, 0] * yf)
             yq = jnp.clip(jnp.round(yf), -127.0, 127.0)
             y8 = yq.astype(jnp.int8)
             for u in range(g2):
@@ -339,15 +342,15 @@ def _stem7_kernel(BY, by_out, nph, W2, kh, cout, meta, pool):
                               * cout]
                       for dx in range(2)] for dy in range(2)]
                 best = v[0][0]
-                idx = jnp.zeros_like(best, dtype=jnp.int8)
+                idx = jnp.zeros_like(best)  # fp32 (see _psrp7_kernel note)
                 for flat, (dy, dx) in enumerate(
                     ((0, 1), (1, 0), (1, 1)), start=1
                 ):
                     take = v[dy][dx] > best
                     best = jnp.where(take, v[dy][dx], best)
-                    idx = jnp.where(take, jnp.int8(flat), idx)
+                    idx = jnp.where(take, jnp.float32(flat), idx)
                 p_ref[0, u] = best.astype(jnp.int8)
-                i_ref[0, u] = idx
+                i_ref[0, u] = idx.astype(jnp.int8)
 
     return kernel
 
