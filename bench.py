@@ -60,7 +60,11 @@ def _build():
         (2, SIZE, SIZE, 1)
     ).astype(np.float32)
     qparams = jax.tree.map(
-        jnp.asarray, quantize_unet_psrp(layers, calibrate_unet(layers, [calib]))
+        jnp.asarray,
+        quantize_unet_psrp(
+            layers, calibrate_unet(layers, [calib]),
+            deep_int4=bool(os.environ.get("OCTSEG_PSRP_INT4")),
+        ),
     )
 
     # Input pool generated on device ONCE, outside the timed region: in
@@ -181,6 +185,8 @@ def main():
     import sys
 
     metric = "unet_512x512_infer_int8_psrp"
+    if os.environ.get("OCTSEG_PSRP_INT4"):
+        metric = "unet_512x512_infer_int4deep_psrp"
     if os.environ.get("OCTSEG_BENCH_PREPROC"):
         metric += "_pipeline"
     try:

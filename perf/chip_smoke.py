@@ -58,6 +58,31 @@ def smoke_int8_conv():
     return pool2x2_int8(y, th=8).block_until_ready()
 
 
+def smoke_int4_conv():
+    """w4a4 mode: int8 storage with +-7 values, in-kernel int4 casts."""
+    from retinal_oct_image_segmentation_via_deep_learning_tpu.ops.pallas_conv_int8 import (
+        conv3x3_int8, ct2x2_int8, pack_ct2x2_weights, pack_weights,
+    )
+
+    from retinal_oct_image_segmentation_via_deep_learning_tpu.ops.pallas_conv_int8 import (
+        conv3x3_int8_reference,
+    )
+
+    x = _i8((1, 32, 128, 128), -7, 8)
+    w = np.asarray(RNG.integers(-7, 8, (3, 3, 128, 128)), np.int8)
+    wp = jnp.asarray(pack_weights(w))
+    sc, b = _f32((128,), 1e-3), _f32((128,))
+    got = conv3x3_int8(x, wp, sc, b, th=8, dot_int4=True, out_clip=7.0)
+    wc = np.asarray(RNG.integers(-7, 8, (2, 2, 128, 64)), np.int8)
+    y = ct2x2_int8(got, tuple(jnp.asarray(m) for m in pack_ct2x2_weights(wc)),
+                   _f32((64,), 1e-3), _f32((64,)), tr=8, dot_int4=True,
+                   out_clip=7.0).block_until_ready()
+    # exactness vs the int8-math oracle (operands +-7 => identical values)
+    ref = conv3x3_int8_reference(x, wp, sc, b, out_clip=7.0)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+    return y
+
+
 def smoke_packed():
     from retinal_oct_image_segmentation_via_deep_learning_tpu.ops.pallas_conv_int8 import (
         pack_weights,
@@ -270,6 +295,7 @@ def smoke_e2e_relaynet_psrp():
 
 FAMILIES = [
     ("int8_conv", smoke_int8_conv),
+    ("int4_conv", smoke_int4_conv),
     ("packed", smoke_packed),
     ("psrp", smoke_psrp),
     ("psrp7", smoke_psrp7),

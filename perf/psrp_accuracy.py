@@ -87,10 +87,14 @@ def main(steps=30):
     xc, _ = synth_batch(jax.random.PRNGKey(99), 4, cfg)
     taps = calibrate_unet(layers, [np.asarray(xc, np.float32)])
     qp_psrp = jax.tree.map(jnp.asarray, quantize_unet_psrp(layers, taps))
+    qp_int4 = jax.tree.map(
+        jnp.asarray, quantize_unet_psrp(layers, taps, deep_int4=True)
+    )
     qp_int8 = jax.tree.map(jnp.asarray, quantize_unet(layers, taps, False))
 
     xt, yt = synth_batch(jax.random.PRNGKey(123), 8, cfg)
     lab_psrp = np.asarray(unet_psrp_forward(qp_psrp, xt, NC))
+    lab_int4 = np.asarray(unet_psrp_forward(qp_int4, xt, NC))
     lab_int8 = np.asarray(jnp.argmax(unet_int8_forward(qp_int8, xt), -1))
     lab_f32 = np.asarray(jnp.argmax(folded_forward(layers, xt), -1))
     yt = np.asarray(yt)
@@ -103,6 +107,17 @@ def main(steps=30):
         f"ON-CHIP psrp-vs-int8 argmax agreement: {agree_int8:.4%}\n"
         f"ON-CHIP psrp-vs-fp32 argmax agreement: {agree_f32:.4%}\n"
         f"pixel acc vs labels: fp32 {acc_f32:.4%}  psrp {acc_psrp:.4%}",
+        flush=True,
+    )
+    print(
+        f"ON-CHIP int4deep-vs-int8 argmax agreement: "
+        f"{float((lab_int4 == lab_int8).mean()):.4%}\n"
+        f"ON-CHIP int4deep-vs-psrp argmax agreement: "
+        f"{float((lab_int4 == lab_psrp).mean()):.4%}\n"
+        f"ON-CHIP int4deep-vs-fp32 argmax agreement: "
+        f"{float((lab_int4 == lab_f32).mean()):.4%}\n"
+        f"pixel acc vs labels: int4deep "
+        f"{float((lab_int4 == yt).mean()):.4%}",
         flush=True,
     )
 

@@ -230,10 +230,11 @@ def cmd_infer(args):
             qp_loaded = None
             layers = fold_unet_bn(variables)
             taps = calibrate_unet(layers, [xs[: min(4, xs.shape[0])]])
-        if args.quantize == "psrp":
+        if args.quantize in ("psrp", "int4"):
             qp = jax.tree.map(jnp.asarray, qp_loaded or quantize_unet_psrp(
                 layers, taps,
                 init_features=int(layers["blk0_conv0"]["w"].shape[-1]),
+                deep_int4=args.quantize == "int4",
             ))
             preds = unet_psrp_forward(
                 qp, xs, cfg.model.num_classes
@@ -344,6 +345,8 @@ def cmd_eval(args):
     if getattr(args, "quantize", "off") != "off" and \
             cfg.model.name == "relaynet":
         # second PTQ model on the metric suite: int8 OR psrp serving graph
+        if args.quantize not in ("int8", "psrp"):
+            raise SystemExit("--model relaynet supports --quantize int8|psrp")
         calib_imgs, _ = next(iter(ds.epoch(0)))
         calib = trainer._preprocess(calib_imgs).astype(jnp.float32)
         fwd = _relaynet_quantized_fwd(
@@ -370,10 +373,11 @@ def cmd_eval(args):
         calib_imgs, _ = next(iter(ds.epoch(0)))
         calib = trainer._preprocess(calib_imgs).astype(jnp.float32)
         taps = calibrate_unet(layers, [calib[: min(4, calib.shape[0])]])
-        if args.quantize == "psrp":
+        if args.quantize in ("psrp", "int4"):
             qp = jax.tree.map(jnp.asarray, quantize_unet_psrp(
                 layers, taps,
                 init_features=int(layers["blk0_conv0"]["w"].shape[-1]),
+                deep_int4=args.quantize == "int4",
             ))
             nc_q = trainer.cfg.model.num_classes
             predict_fn = lambda st, imgs: unet_psrp_forward(
@@ -498,14 +502,15 @@ def cmd_serve(args):
                 jnp.zeros((2, H, W, 1), jnp.float32)
             ).astype(jnp.float32)
             taps = calibrate_unet(layers, [calib])
-            if args.quantize == "psrp":
+            if args.quantize in ("psrp", "int4"):
                 qp = jax.tree.map(jnp.asarray, quantize_unet_psrp(
                     layers, taps,
                     init_features=int(layers["blk0_conv0"]["w"].shape[-1]),
+                    deep_int4=args.quantize == "int4",
                 ))
             else:
                 qp = jax.tree.map(jnp.asarray, quantize_unet(layers, taps))
-        if args.quantize == "psrp":
+        if args.quantize in ("psrp", "int4"):
             fwd = lambda x: unet_psrp_forward(
                 qp, trainer._preprocess(x).astype(jnp.float32), nc
             ).astype(jnp.int32)
@@ -594,7 +599,7 @@ def main(argv=None):
     e.add_argument("--checkpoint", default=None)
     e.add_argument("--num-val", type=int, default=16)
     e.add_argument(
-        "--quantize", choices=("off", "int8", "psrp"), default="off",
+        "--quantize", choices=("off", "int8", "psrp", "int4"), default="off",
         help="evaluate the PTQ serving graph instead of the fp32 model "
              "(unet; measures quantization accuracy cost)",
     )
@@ -625,7 +630,7 @@ def main(argv=None):
              "folding and calibration)",
     )
     i.add_argument(
-        "--quantize", choices=("off", "int8", "packed", "psrp"),
+        "--quantize", choices=("off", "int8", "packed", "psrp", "int4"),
         default="off",
         help="int8 PTQ serving paths (unet): XLA int8 or the row-packed "
              "Pallas graph (TPU; interpret-mode elsewhere)",
@@ -638,7 +643,7 @@ def main(argv=None):
     v.add_argument("--port", type=int, default=8765)
     v.add_argument("--max-wait-ms", type=float, default=2.0)
     v.add_argument(
-        "--quantize", choices=("off", "int8", "psrp"), default="off"
+        "--quantize", choices=("off", "int8", "psrp", "int4"), default="off"
     )
     v.add_argument("--load-quantized", default=None)
     v.set_defaults(fn=cmd_serve)

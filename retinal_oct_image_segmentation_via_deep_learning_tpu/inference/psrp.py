@@ -150,19 +150,49 @@ def _stage_tg_for(stage_table):
     return tgs
 
 
-def _quant_w(w):
-    s_w = np.max(np.abs(w), axis=(0, 1, 2)) / 127.0
+def _quant_w(w, lim: int = 127):
+    s_w = np.max(np.abs(w), axis=(0, 1, 2)) / lim
     s_w = np.maximum(s_w, 1e-12).astype(np.float32)
-    w_q = np.clip(np.round(w / s_w), -127, 127).astype(np.int8)
+    w_q = np.clip(np.round(w / s_w), -lim, lim).astype(np.int8)
     return w_q, s_w
 
 
-def quantize_unet_psrp(layers, taps, init_features: int = 32):
-    """qparams for ``unet_psrp_forward`` (f=init_features U-Net)."""
+# Deep-region activation tensors whose values are held in [-7, 7] under the
+# w4a4 mode (every tensor consumed by an int4 dot). ``ct2_in`` — blk6_conv1's
+# output, consumed by the int8 PSRP decoder — deliberately stays 8-bit, as do
+# the enc0/enc1 skips (the deep entry pays one explicit 8->4 requant pass
+# instead of coarsening the blk7 skip).
+INT4_KEYS = frozenset(
+    [f"blk{i}_conv{j}_in" for i in (2, 3, 4) for j in (0, 1)]
+    + ["ct0_in", "blk5_cat", "blk5_conv1_in", "ct1_in", "blk6_cat",
+       "blk6_conv1_in"]
+)
+# int8 range / int4 range: an INT4_KEYS tensor's effective scale is
+# s[key] * INT4_RATIO (calibrated absmax maps to 7 instead of 127).
+INT4_RATIO = 127.0 / 7.0
+
+
+def quantize_unet_psrp(layers, taps, init_features: int = 32,
+                       deep_int4: bool = False):
+    """qparams for ``unet_psrp_forward`` (f=init_features U-Net).
+
+    ``deep_int4``: serve the deep region (blk2..blk6 + ct0/ct1) as w4a4 —
+    weights quantized with absmax/7 and activations held in [-7, 7], so the
+    deep kernels' MXU dots run at the 2x int4 rate (726 vs 367 TOPs measured,
+    perf/int4probe.py). Values stay in int8 storage; the cast happens inside
+    the kernels. Shallow PSRP stages, the enc0/enc1 skips, and ct2_in keep
+    full int8 precision."""
     stage_table, _ = _psrp_config(init_features)
     q = quantize_unet(layers, taps, pallas=False)
     s = {k: np.float32(v) for k, v in q["_act_scales"].items()}
 
+    wlim = 7 if deep_int4 else 127
+    if deep_int4:
+        q["_deep_int4"] = True
+        for name in DEEP_STAGES + ("ct0", "ct1"):
+            q[name]["w_q"], q[name]["s_w"] = _quant_w(
+                layers[name]["w"], wlim
+            )
     for name in DEEP_STAGES:
         q[name]["w_packed"] = pack_weights(q[name]["w_q"], 1)
 
@@ -185,10 +215,12 @@ def quantize_unet_psrp(layers, taps, init_features: int = 32):
         mats, _ = pack_psrp_weights(w_q, by, nph, cins=cins)
         q[name]["w_psrp"] = tuple(mats)
     for name in ("blk5_conv0", "blk6_conv0"):
+        # skip_scale stays valid under deep_int4: both its keys are
+        # INT4_KEYS, so the 127/7 rescale cancels in the ratio.
         w = layers[name]["w"].copy()
         half = w.shape[2] // 2
         w[:, :, half:, :] *= skip_scale[name]
-        w_q, s_w = _quant_w(w)
+        w_q, s_w = _quant_w(w, wlim)
         q[name]["w_q"], q[name]["s_w"] = w_q, s_w
         q[name]["w_packed"] = pack_weights(w_q, 1)
 
@@ -238,6 +270,16 @@ def unet_psrp_forward(qparams, x, num_classes: int, tg=None):
         k, _, v = kv.partition("=")
         tgs[k] = int(v)  # on-chip sweep override (perf use only)
     s = qparams["_act_scales"]
+    # key PRESENCE, not value: under jit the qparams leaves are tracers, so
+    # the flag must be part of the pytree STRUCTURE (quantize_unet_psrp only
+    # adds the key when deep_int4=True).
+    deep_i4 = "_deep_int4" in qparams
+
+    def sdeep(key):
+        """Effective activation scale: INT4_KEYS tensors hold [-7, 7]."""
+        if deep_i4 and key in INT4_KEYS:
+            return s[key] * np.float32(INT4_RATIO)
+        return s[key]
     N, H, W, _ = x.shape
     f = int(qparams["blk0_conv0"]["w_q"].shape[-1])
     stage_table, by_stem_out = _psrp_config(f)
@@ -295,6 +337,13 @@ def unet_psrp_forward(qparams, x, num_classes: int, tg=None):
         hq = hp.reshape(N, G, W2, hp.shape[-1])
     else:
         hq = unpack_psrp(hp, by_deep, 1)
+    if deep_i4:
+        # Deep-entry 8->4 requant (one fused elementwise pass over the
+        # 16x-downsampled tensor, ~0.3 ms/batch): blk1_conv1 keeps emitting
+        # full int8 so the enc1 skip feeding blk7 stays 8-bit.
+        hq = jnp.clip(
+            jnp.round(hq.astype(jnp.float32) * (1.0 / INT4_RATIO)), -7, 7
+        ).astype(jnp.int8)
 
     # --- deep region: by=1 kernels with folded cat; reshape-lowered pools.
     # Pool lowerings A/B'd on-chip (perf/poolbench.py): XLA reshape-max 1.7
@@ -309,16 +358,19 @@ def unet_psrp_forward(qparams, x, num_classes: int, tg=None):
         layer = qparams[name]
         if not isinstance(inputs, (tuple, list)):
             inputs = (inputs,)
+        clip = 7.0 if (deep_i4 and out_key in INT4_KEYS) else 127.0
         if not interp:
-            scale = s[in_key] * layer["s_w"] / s[out_key]
-            bias = layer["b"] / s[out_key]
+            scale = sdeep(in_key) * layer["s_w"] / sdeep(out_key)
+            bias = layer["b"] / sdeep(out_key)
             return conv3x3_int8(
                 tuple(inputs), layer["w_packed"], scale, bias, by=1,
                 relu=True, out_int8=True, th=_pick_th(inputs[0].shape[1]),
+                dot_int4=deep_i4, out_clip=clip,
             )
         cat = (jnp.concatenate(inputs, axis=-1) if len(inputs) > 1
                else inputs[0])
-        return _qconv(cat, s[in_key], layer, s[out_key])
+        return _qconv(cat, sdeep(in_key), layer, sdeep(out_key),
+                      clip_out=clip)
 
     deep_enc = []
     for i in (2, 3):
@@ -330,20 +382,21 @@ def unet_psrp_forward(qparams, x, num_classes: int, tg=None):
         hq = _dpool(hq)
     hq = dconv(hq, "blk4_conv0", "blk4_conv0_in", "blk4_conv1_in")
     hq = dconv(hq, "blk4_conv1", "blk4_conv1_in", "ct0_in")
-    hs = s["ct0_in"]
+    hs = sdeep("ct0_in")
     for ct, blk in ((0, 5), (1, 6)):
-        cat_s = s[f"blk{blk}_cat"]
+        cat_s = sdeep(f"blk{blk}_cat")
         lw = qparams[f"ct{ct}"]
         up = ct2x2_int8(
             hq, lw["w_ct"], hs * lw["s_w"] / cat_s, lw["b"] / cat_s,
-            tr=tgs["ct01"], interpret=interp,
+            tr=tgs["ct01"], interpret=interp, dot_int4=deep_i4,
+            out_clip=7.0 if deep_i4 else 127.0,
         )
         # skip feeds RAW — its requant is folded into the conv's weights
         hq = dconv((up, deep_enc[1 - ct]), f"blk{blk}_conv0",
                    f"blk{blk}_cat", f"blk{blk}_conv1_in")
         nxt = f"ct{ct+1}_in"
         hq = dconv(hq, f"blk{blk}_conv1", f"blk{blk}_conv1_in", nxt)
-        hs = s[nxt]
+        hs = sdeep(nxt)
 
     # --- PSRP decoder ---
     sc = s["ct2_in"] * qparams["ct2"]["s_w"] / s["blk7_cat"]

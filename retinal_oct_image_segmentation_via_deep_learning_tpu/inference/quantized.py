@@ -387,7 +387,8 @@ def unet_mixed_forward(qparams, x, *, shallow="bf16", deep="pallas"):
     return _qconv(hq, s["head_in"], qparams["head"], None, relu=False)
 
 
-def _qconv(xq, s_in, layer, s_out, relu=True, transpose=False):
+def _qconv(xq, s_in, layer, s_out, relu=True, transpose=False,
+           clip_out=127.0):
     """int8 conv + fused requant epilogue.
 
     xq int8, s_in scalar; layer holds w_q (int8) + per-channel s_w + fp bias.
@@ -429,8 +430,8 @@ def _qconv(xq, s_in, layer, s_out, relu=True, transpose=False):
     if s_out is None:
         return y
     y = y / s_out
-    lo = 0.0 if relu else -127.0
-    return jnp.clip(jnp.round(y), lo, 127.0).astype(jnp.int8)
+    lo = 0.0 if relu else -clip_out
+    return jnp.clip(jnp.round(y), lo, clip_out).astype(jnp.int8)
 
 
 def _requant(xq, s_from, s_to):

@@ -78,14 +78,22 @@ def pack_weights(w, by: int = 1):
     return packed.reshape(kw * (by + 2) * cin, by * cout)
 
 
-def _make_kernel(th, by, W, cins, cout, relu, out_int8, force_per_tap=False):
+def _make_kernel(th, by, W, cins, cout, relu, out_int8, force_per_tap=False,
+                 dot_int4=False, out_clip=127.0):
     nb = th // by
     cin = sum(cins)
     n_in = len(cins)
+    dot_t = jnp.int4 if dot_int4 else jnp.int8
 
     def kernel(*refs):
         w_ref, scale_ref, bias_ref = refs[3 * n_in : 3 * n_in + 3]
         o_ref = refs[3 * n_in + 3]
+        # w4a4 mode: operands live in HBM/VMEM as int8 (int4 arrays cannot
+        # cross the jit boundary on this backend — perf/kgran.py) with
+        # values pre-clipped to [-7, 7] by the producers' requant; the cast
+        # to int4 happens here, post patch-assembly, and the dot runs at
+        # the MXU's 2x int4 rate (726 vs 371 TOPs measured at K=512).
+        wk = w_ref[...].astype(dot_t) if dot_int4 else w_ref
         # Halo rows are single-row blocks of x itself (index-mapped to the
         # neighbouring strip's edge row, clamped at the image border); the
         # border rows are zero-masked here so the result is 'same' zero
@@ -127,8 +135,10 @@ def _make_kernel(th, by, W, cins, cout, relu, out_int8, force_per_tap=False):
                 p = jnp.concatenate(
                     [tap(dyp, dx) for dyp in range(by + 2)], axis=-1
                 ).reshape(nb * W, kdx)
+                if dot_int4:
+                    p = p.astype(dot_t)
                 part = jax.lax.dot_general(
-                    p, w_ref[dx * kdx : (dx + 1) * kdx, :],
+                    p, wk[dx * kdx : (dx + 1) * kdx, :],
                     (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.int32,
                 )
@@ -140,9 +150,11 @@ def _make_kernel(th, by, W, cins, cout, relu, out_int8, force_per_tap=False):
             for dx in range(3):
                 for dyp in range(by + 2):
                     a = tap(dyp, dx).reshape(nb * W, cin)
+                    if dot_int4:
+                        a = a.astype(dot_t)
                     t = dx * (by + 2) + dyp
                     part = jax.lax.dot_general(
-                        a, w_ref[t * cin : (t + 1) * cin, :],
+                        a, wk[t * cin : (t + 1) * cin, :],
                         (((1,), (0,)), ((), ())),
                         preferred_element_type=jnp.int32,
                     )
@@ -152,7 +164,7 @@ def _make_kernel(th, by, W, cins, cout, relu, out_int8, force_per_tap=False):
         if relu:
             y = jnp.maximum(y, 0.0)
         if out_int8:
-            y = jnp.clip(jnp.round(y), -127.0, 127.0).astype(jnp.int8)
+            y = jnp.clip(jnp.round(y), -out_clip, out_clip).astype(jnp.int8)
         if by == 1:
             # Natural (th, W, cout) rows — store straight into the 4-D output
             # block. (Round-2 profiling: the 5-D out_shape forced XLA to
@@ -171,14 +183,23 @@ def _make_kernel(th, by, W, cins, cout, relu, out_int8, force_per_tap=False):
 
 
 @partial(jax.jit, static_argnames=("by", "relu", "out_int8", "th",
-                                   "interpret", "force_per_tap"))
+                                   "interpret", "force_per_tap", "dot_int4",
+                                   "out_clip"))
 def conv3x3_int8(x, w_packed, scale, bias, *, by=1, relu=True, out_int8=True,
-                 th=16, interpret=False, force_per_tap=False):
+                 th=16, interpret=False, force_per_tap=False, dot_int4=False,
+                 out_clip=127.0):
     """x: (N, H, W, Cin) int8 — or a tuple of such tensors, whose channel
     concat is folded into the GEMM (weights packed for the cat channels);
     w_packed: pack_weights(w, by) int8; scale: (Cout,) fp32
     (= s_in*s_w/s_out); bias: (Cout,) fp32 (already in output-scale units).
-    Returns (N, H, W, Cout) int8 (fp32 with out_int8=False)."""
+    Returns (N, H, W, Cout) int8 (fp32 with out_int8=False).
+
+    ``dot_int4``: run the MXU dots at the 2x int4 rate. Inputs and weights
+    stay int8 ARRAYS but their VALUES must be in [-7, 7] (producers use
+    ``out_clip=7``, weights quantized with absmax/7); the in-kernel cast is
+    then exact, so interpret mode (which keeps int8 dots) is bit-identical.
+    ``out_clip``: requant clamp bound (7.0 when the consumer is an int4
+    dot)."""
     if not isinstance(x, (tuple, list)):
         x = (x,)
     N, H, W, _ = x[0].shape
@@ -194,7 +215,9 @@ def conv3x3_int8(x, w_packed, scale, bias, *, by=1, relu=True, out_int8=True,
     bias_p = jnp.tile(bias, by)[None]
 
     out_dtype = jnp.int8 if out_int8 else jnp.float32
-    kern = _make_kernel(th, by, W, cins, cout, relu, out_int8, force_per_tap)
+    kern = _make_kernel(th, by, W, cins, cout, relu, out_int8, force_per_tap,
+                        dot_int4=dot_int4 and not interpret,
+                        out_clip=out_clip)
     # Single-row halo blocks read straight out of x: block size 1 on the row
     # dim makes the block index a row index, so the index map can address the
     # neighbouring strip's edge row (clamped at borders; kernel zero-masks).
@@ -259,23 +282,30 @@ def pack_ct2x2_weights(w):
     ]
 
 
-def _ct2x2_kernel(tr, W, cout):
+def _ct2x2_kernel(tr, W, cout, dot_int4=False, out_clip=127.0):
     def kernel(x_ref, w0, w1, scale_ref, bias_ref, o_ref):
         X = x_ref[0].reshape(tr * W, x_ref.shape[-1])
+        if dot_int4:
+            X = X.astype(jnp.int4)
         for dy, w_ref in ((0, w0), (1, w1)):
+            wm = w_ref[...]
+            if dot_int4:
+                wm = wm.astype(jnp.int4)
             acc = jax.lax.dot_general(
-                X, w_ref[...], (((1,), (0,)), ((), ())),
+                X, wm, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.int32,
             )
             y = acc.astype(jnp.float32) * scale_ref[0] + bias_ref[0]
-            y8 = jnp.clip(jnp.round(y), -127.0, 127.0).astype(jnp.int8)
+            y8 = jnp.clip(jnp.round(y), -out_clip, out_clip).astype(jnp.int8)
             o_ref[0, :, dy] = y8.reshape(tr, W, 2 * cout)
 
     return kernel
 
 
-@partial(jax.jit, static_argnames=("tr", "interpret"))
-def ct2x2_int8(xq, w_mats, scale, bias, *, tr=16, interpret=False):
+@partial(jax.jit, static_argnames=("tr", "interpret", "dot_int4",
+                                   "out_clip"))
+def ct2x2_int8(xq, w_mats, scale, bias, *, tr=16, interpret=False,
+               dot_int4=False, out_clip=127.0):
     """2x2 stride-2 int8 transpose conv + fused requant (no relu):
     (N, H, W, cin) int8 -> (N, 2H, 2W, cout) int8.
 
@@ -293,7 +323,8 @@ def ct2x2_int8(xq, w_mats, scale, bias, *, tr=16, interpret=False):
     scale_p = jnp.tile(scale, 2)[None]
     bias_p = jnp.tile(bias, 2)[None]
     y = pl.pallas_call(
-        _ct2x2_kernel(tr, W, cout),
+        _ct2x2_kernel(tr, W, cout, dot_int4=dot_int4 and not interpret,
+                      out_clip=out_clip),
         grid=(N, H // tr),
         in_specs=[
             pl.BlockSpec((1, tr, W, cin), lambda n, s: (n, s, 0, 0),
@@ -346,8 +377,9 @@ def pool2x2_int8(xq, *, th=8, interpret=False):
 
 
 def conv3x3_int8_reference(x, w_packed, scale, bias, by=1, relu=True,
-                           out_int8=True):
-    """lax.conv equivalent for correctness checks."""
+                           out_int8=True, out_clip=127.0):
+    """lax.conv equivalent for correctness checks. int8 dots: exact for the
+    w4a4 mode too, whose +-7-valued operands never overflow int8 math."""
     cin = x.shape[-1]
     cout = w_packed.shape[-1] // by
     # Recover the dense (3,3,cin,cout) kernel from the banded pack: output
@@ -363,5 +395,5 @@ def conv3x3_int8_reference(x, w_packed, scale, bias, by=1, relu=True,
     if relu:
         y = jnp.maximum(y, 0.0)
     if out_int8:
-        y = jnp.clip(jnp.round(y), -127.0, 127.0).astype(jnp.int8)
+        y = jnp.clip(jnp.round(y), -out_clip, out_clip).astype(jnp.int8)
     return y
