@@ -80,7 +80,61 @@ def smoke_int4_conv():
     # exactness vs the int8-math oracle (operands +-7 => identical values)
     ref = conv3x3_int8_reference(x, wp, sc, b, out_clip=7.0)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+    # zp7 storage: -7 border padding, relu folded into the clip
+    got = conv3x3_int8(x, wp, sc, b, th=8, dot_int4=True, out_clip=7.0,
+                       pad_vals=(-7,), relu=False)
+    ref = conv3x3_int8_reference(x, wp, sc, b, out_clip=7.0,
+                                 pad_vals=(-7,), relu=False)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+    # mixed-pad folded cat (sym7 up, zp7 skip)
+    a2 = _i8((1, 16, 128, 64), -7, 8)
+    b2 = _i8((1, 16, 128, 64), -7, 8)
+    wcat = np.asarray(RNG.integers(-7, 8, (3, 3, 128, 128)), np.int8)
+    wpc = jnp.asarray(pack_weights(wcat))
+    got = conv3x3_int8((a2, b2), wpc, sc, b, th=8, dot_int4=True,
+                       out_clip=7.0, pad_vals=(0, -7), relu=False)
+    ref = conv3x3_int8_reference((a2, b2), wpc, sc, b, out_clip=7.0,
+                                 pad_vals=(0, -7), relu=False)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
     return y
+
+
+def smoke_int4_psrp():
+    """w4a4 mid-res PSRP stage: int4 dots + zp pad + split-scale pool."""
+    from retinal_oct_image_segmentation_via_deep_learning_tpu.ops.pallas_conv_psrp import (
+        conv3x3_psrp, pack_psrp, pack_psrp_weights, unpack_psrp,
+    )
+    from retinal_oct_image_segmentation_via_deep_learning_tpu.ops.pallas_conv_int8 import (
+        conv3x3_int8_reference, pack_weights,
+    )
+
+    by, nph, cin, cout = 2, 2, 64, 64
+    x = _i8((1, 32, 128, cin), -7, 8)
+    w = np.asarray(RNG.integers(-7, 8, (3, 3, cin, cout)), np.int8)
+    sc, b = _f32((cout,), 1e-3), _f32((cout,))
+    mats, _ = pack_psrp_weights(w, by, nph, cins=(cin,))
+    xp = pack_psrp(x, by, nph)
+    # int4 dots + zp7 border pad, relu folded into clip (blk1_conv0 shape)
+    yp = conv3x3_psrp(
+        (xp,), tuple(jnp.asarray(m) for m in mats), sc, b,
+        by=by, nph=nph, cins=(cin,), tg=4, relu=False,
+        dot_int4=True, out_clip=7.0, pad_val=-7,
+    )
+    y = unpack_psrp(yp, by, nph)
+    ref = conv3x3_int8_reference(
+        x, jnp.asarray(pack_weights(w, 1)), sc, b, relu=False,
+        out_clip=7.0, pad_vals=(-7,),
+    )
+    np.testing.assert_array_equal(np.asarray(y), np.asarray(ref))
+    # split-scale pool epilogue (blk1_conv1 shape): rescale + shift
+    yp2 = conv3x3_psrp(
+        (xp,), tuple(jnp.asarray(m) for m in mats), sc, b,
+        by=by, nph=nph, cins=(cin,), tg=4, relu=True, pool=True,
+        dot_int4=True, pad_val=-7,
+        pool_rescale=14.0 / 127.0, pool_shift=-7.0, pool_clip=7.0,
+    )
+    return jax.block_until_ready(yp2[1])
 
 
 def smoke_packed():
@@ -296,6 +350,7 @@ def smoke_e2e_relaynet_psrp():
 FAMILIES = [
     ("int8_conv", smoke_int8_conv),
     ("int4_conv", smoke_int4_conv),
+    ("int4_psrp", smoke_int4_psrp),
     ("packed", smoke_packed),
     ("psrp", smoke_psrp),
     ("psrp7", smoke_psrp7),

@@ -58,6 +58,7 @@ def main():
                for i in range(STEPS)]
 
     results = {}
+    final_states = {}
     for name, step in (
         ("xla", make_train_step(trainer.model, trainer.loss_fn)),
         ("packed", make_packed_train_step(trainer.loss_fn)),
@@ -70,6 +71,7 @@ def main():
                              jnp.asarray(yb))
             losses.append(float(loss))
         results[name] = losses
+        final_states[name] = st
         print(f"{name:7s}: first {losses[0]:.4f}  last {losses[-1]:.4f}  "
               f"traj {' '.join(f'{l:.3f}' for l in losses[::5])}",
               flush=True)
@@ -77,6 +79,35 @@ def main():
     a, b = np.array(results["xla"]), np.array(results["packed"])
     print(f"max |rel gap| over trajectory: "
           f"{np.max(np.abs(a-b)/np.maximum(np.abs(a),1e-6)):.3e}",
+          flush=True)
+
+    # Converged-Dice contract (round-3 ask #7 / round-4 verdict item 7):
+    # final val macro-Dice of the two optimizers must match within 0.005.
+    # Run with OCTSEG_CONV_STEPS=300 for the converged contract.
+    xv, yv = synth_batch(jax.random.PRNGKey(777), 16, scfg)
+    yv = np.asarray(yv)
+    dices = {}
+    for name, st in final_states.items():
+        logits = trainer.model.apply(
+            {"params": st.params, "batch_stats": st.batch_stats},
+            jnp.asarray(xv, jnp.bfloat16), train=False,
+        )
+        pred = np.asarray(jnp.argmax(logits, -1))
+        scores = []
+        for c in range(NC):
+            gt = yv == c
+            if not gt.any():
+                continue
+            pr = pred == c
+            scores.append(
+                2.0 * (gt & pr).sum() / (gt.sum() + pr.sum() + 1e-7)
+            )
+        dices[name] = float(np.mean(scores))
+        print(f"{name:7s}: final val macro-Dice {dices[name]:.4f}",
+              flush=True)
+    delta = dices["packed"] - dices["xla"]
+    print(f"CONTRACT final-Dice delta (packed - xla): {delta:+.4f} "
+          f"({'PASS' if abs(delta) <= 0.005 else 'FAIL'} at 0.005)",
           flush=True)
 
 

@@ -75,13 +75,38 @@ def main(steps=30):
         updates, opt_state = tx.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), new_stats, opt_state, loss
 
-    key = jax.random.PRNGKey(1)
-    for i in range(steps):
-        params, stats, opt_state, loss = step(
-            params, stats, opt_state, jax.random.fold_in(key, i)
-        )
-        if i % 10 == 0:
-            print(f"step {i} loss {float(loss):.4f}", flush=True)
+    # cache the trained checkpoint across invocations (accuracy-contract
+    # iterations re-run quantizer variants, not training): OCTSEG_ACC_CKPT
+    # names an .npz; delete it to retrain.
+    ckpt = os.environ.get("OCTSEG_ACC_CKPT", "/tmp/psrp_acc_ckpt.npz")
+    loaded = False
+    if ckpt and os.path.exists(ckpt):
+        import pickle
+
+        with open(ckpt, "rb") as fh:
+            blob = pickle.load(fh)
+        if blob.get("steps") == steps:
+            params = jax.tree.map(jnp.asarray, blob["params"])
+            stats = jax.tree.map(jnp.asarray, blob["stats"])
+            loaded = True
+            print(f"loaded cached {steps}-step checkpoint {ckpt}",
+                  flush=True)
+    if not loaded:
+        key = jax.random.PRNGKey(1)
+        for i in range(steps):
+            params, stats, opt_state, loss = step(
+                params, stats, opt_state, jax.random.fold_in(key, i)
+            )
+            if i % 10 == 0:
+                print(f"step {i} loss {float(loss):.4f}", flush=True)
+        if ckpt:
+            import pickle
+
+            with open(ckpt, "wb") as fh:
+                pickle.dump(
+                    {"steps": steps,
+                     "params": jax.device_get(params),
+                     "stats": jax.device_get(stats)}, fh)
 
     layers = fold_unet_bn({"params": params, "batch_stats": stats})
     xc, _ = synth_batch(jax.random.PRNGKey(99), 4, cfg)
@@ -89,6 +114,12 @@ def main(steps=30):
     qp_psrp = jax.tree.map(jnp.asarray, quantize_unet_psrp(layers, taps))
     qp_int4 = jax.tree.map(
         jnp.asarray, quantize_unet_psrp(layers, taps, deep_int4=True)
+    )
+    qp_w4 = jax.tree.map(
+        jnp.asarray, quantize_unet_psrp(layers, taps, deep_int4="w4")
+    )
+    qp_a4 = jax.tree.map(
+        jnp.asarray, quantize_unet_psrp(layers, taps, deep_int4="a4")
     )
     qp_int8 = jax.tree.map(jnp.asarray, quantize_unet(layers, taps, False))
 
@@ -107,6 +138,17 @@ def main(steps=30):
         f"ON-CHIP psrp-vs-int8 argmax agreement: {agree_int8:.4%}\n"
         f"ON-CHIP psrp-vs-fp32 argmax agreement: {agree_f32:.4%}\n"
         f"pixel acc vs labels: fp32 {acc_f32:.4%}  psrp {acc_psrp:.4%}",
+        flush=True,
+    )
+    lab_w4 = np.asarray(unet_psrp_forward(qp_w4, xt, NC))
+    lab_a4 = np.asarray(unet_psrp_forward(qp_a4, xt, NC))
+    print(
+        f"ATTRIB w4-only-vs-int8 agreement: "
+        f"{float((lab_w4 == lab_int8).mean()):.4%}  "
+        f"pixel acc {float((lab_w4 == yt).mean()):.4%}\n"
+        f"ATTRIB a4-only-vs-int8 agreement: "
+        f"{float((lab_a4 == lab_int8).mean()):.4%}  "
+        f"pixel acc {float((lab_a4 == yt).mean()):.4%}",
         flush=True,
     )
     print(

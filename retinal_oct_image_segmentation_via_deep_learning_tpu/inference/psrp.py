@@ -151,44 +151,81 @@ def _stage_tg_for(stage_table):
 
 
 def _quant_w(w, lim: int = 127):
+    # 4-bit weights use plain per-channel absmax: an MSE-optimal
+    # shrink-fraction scan was A/B'd on the trained-checkpoint contract and
+    # LOST (w4-only argmax agreement vs int8: absmax 96.6% vs MSE 95.2% —
+    # clipping outlier weights hurts agreement more than the rounding
+    # noise it saves; perf/psrp_accuracy.py, round 5). Do not retry.
     s_w = np.max(np.abs(w), axis=(0, 1, 2)) / lim
     s_w = np.maximum(s_w, 1e-12).astype(np.float32)
     w_q = np.clip(np.round(w / s_w), -lim, lim).astype(np.int8)
     return w_q, s_w
 
 
-# Deep-region activation tensors whose values are held in [-7, 7] under the
-# w4a4 mode (every tensor consumed by an int4 dot). ``ct2_in`` — blk6_conv1's
-# output, consumed by the int8 PSRP decoder — deliberately stays 8-bit, as do
-# the enc0/enc1 skips (the deep entry pays one explicit 8->4 requant pass
-# instead of coarsening the blk7 skip).
-INT4_KEYS = frozenset(
-    [f"blk{i}_conv{j}_in" for i in (2, 3, 4) for j in (0, 1)]
-    + ["ct0_in", "blk5_cat", "blk5_conv1_in", "ct1_in", "blk6_cat",
-       "blk6_conv1_in"]
+# 4-bit activation tensors under the w4a4 mode (every tensor consumed by an
+# int4 dot). Two encodings:
+#
+# * ZP7_KEYS — relu-produced tensors, quantized to levels [0, 14] and STORED
+#   as level-7 in [-7, 7] ("zero-point 7"): true zero sits at stored -7, so
+#   the non-negative relu range gets 15 levels instead of 8. The shift is
+#   free: producers fold the -7 into the conv bias (relu is subsumed by the
+#   symmetric clip's lower bound), consumers fold the +7*sum(w) back in
+#   (uniform because kernels pad borders with the stored true-zero, -7).
+# * SYM7_KEYS — the ct0/ct1 transpose-conv outputs (no relu, signed):
+#   plain symmetric [-7, 7].
+#
+# ``ct2_in``/``ct3_in`` (the decoder boundary) and the enc0/enc1 skips
+# deliberately stay 8-bit: pool=True stages emit the skip at the full int8
+# base scale and requantize only the POOLED tensor via the fused
+# pool_rescale/pool_shift epilogue (split scale).
+ZP7_KEYS = frozenset(
+    [f"blk{i}_conv{j}_in" for i in (1, 2, 3, 4) for j in (0, 1)]
+    + ["ct0_in", "blk5_conv1_in", "ct1_in", "blk6_conv1_in",
+       "blk7_conv1_in"]
 )
-# int8 range / int4 range: an INT4_KEYS tensor's effective scale is
-# s[key] * INT4_RATIO (calibrated absmax maps to 7 instead of 127).
-INT4_RATIO = 127.0 / 7.0
+SYM7_KEYS = frozenset(["blk5_cat", "blk6_cat"])
+INT4_KEYS = ZP7_KEYS | SYM7_KEYS
+# int8-range / 4-bit-range scale ratios: an INT4_KEYS tensor's effective
+# scale is s[key] * ratio (calibrated absmax maps to 14 or 7 vs 127).
+ZP7_RATIO = 127.0 / 14.0
+SYM7_RATIO = 127.0 / 7.0
+# PSRP (mid-res, by=2) stages whose MXU dots also run int4 under the w4a4
+# mode. blk7_conv0 stays int8 (its enc1 skip input keeps 8-bit precision;
+# only its OUTPUT is requantized to 4-bit for blk7_conv1); the 512^2 by=4
+# stages are patch-assembly-bound, where the int4 dot rate buys little and
+# the extra in-kernel casts cost VPU time.
+INT4_PSRP_STAGES = ("blk1_conv0", "blk1_conv1", "blk7_conv1")
 
 
 def quantize_unet_psrp(layers, taps, init_features: int = 32,
-                       deep_int4: bool = False):
+                       deep_int4=False):
     """qparams for ``unet_psrp_forward`` (f=init_features U-Net).
 
-    ``deep_int4``: serve the deep region (blk2..blk6 + ct0/ct1) as w4a4 —
-    weights quantized with absmax/7 and activations held in [-7, 7], so the
-    deep kernels' MXU dots run at the 2x int4 rate (726 vs 367 TOPs measured,
-    perf/int4probe.py). Values stay in int8 storage; the cast happens inside
-    the kernels. Shallow PSRP stages, the enc0/enc1 skips, and ct2_in keep
-    full int8 precision."""
+    ``deep_int4=True``: serve the deep region (blk2..blk6 + ct0/ct1, plus
+    the mid-res INT4_PSRP_STAGES) as w4a4 — weights quantized with absmax/7
+    and activations held in [-7, 7], so those kernels' MXU dots run at the
+    2x int4 rate (647 vs 367 TOPs measured, perf/int4probe.py). Values stay
+    in int8 storage; the cast happens inside the kernels. Shallow PSRP
+    stages, the enc0/enc1 skips, and ct3_in/ct2_in keep full int8.
+
+    ``deep_int4="w4"``: 4-bit WEIGHTS only (activations full int8, int8
+    dots — an accuracy-attribution mode, no speedup).
+    ``deep_int4="a4"``: 4-bit ACTIVATIONS only (weights int8, int8 dots —
+    accuracy attribution)."""
+    w4 = deep_int4 in (True, "w4")
+    a4 = deep_int4 in (True, "a4")
+    assert deep_int4 in (False, True, "w4", "a4"), deep_int4
     stage_table, _ = _psrp_config(init_features)
     q = quantize_unet(layers, taps, pallas=False)
     s = {k: np.float32(v) for k, v in q["_act_scales"].items()}
 
-    wlim = 7 if deep_int4 else 127
+    wlim = 7 if w4 else 127
     if deep_int4:
-        q["_deep_int4"] = True
+        # mode carried as pytree STRUCTURE (key presence — values are
+        # tracers under jit): _deep_int4 => w4a4 (int4 dots),
+        # _deep_a4 => activation-only 4-bit (int8 dots).
+        q["_deep_int4" if deep_int4 is True else f"_deep_{deep_int4}"] = True
+    if w4:
         for name in DEEP_STAGES + ("ct0", "ct1"):
             q[name]["w_q"], q[name]["s_w"] = _quant_w(
                 layers[name]["w"], wlim
@@ -196,13 +233,24 @@ def quantize_unet_psrp(layers, taps, init_features: int = 32,
     for name in DEEP_STAGES:
         q[name]["w_packed"] = pack_weights(q[name]["w_q"], 1)
 
+    def effs(key):
+        """Effective STORED scale of a tensor under the active mode."""
+        if a4 and key in ZP7_KEYS:
+            return s[key] * np.float32(ZP7_RATIO)
+        if a4 and key in SYM7_KEYS:
+            return s[key] * np.float32(SYM7_RATIO)
+        return s[key]
+
     # cat convs: fold the skip requant (s_skip -> s_cat) into the skip-half
     # weight quantization — exact up to int8 weight rounding (round 2).
     # Round 3 extends this to the DEEP cat convs too, so the deep skips feed
     # the folded-concat kernel raw (no separate requant pass, no concat copy).
+    # Folds use EFFECTIVE scales: the deep skips (blk4/blk3_conv0_in) are
+    # zp7-stored while the cat is sym7; the enc0/enc1 skips stay stored at
+    # the full-int8 base scale (pool split-scale), so blk7/blk8 use base.
     skip_scale = {
-        "blk5_conv0": s["blk4_conv0_in"] / s["blk5_cat"],
-        "blk6_conv0": s["blk3_conv0_in"] / s["blk6_cat"],
+        "blk5_conv0": effs("blk4_conv0_in") / effs("blk5_cat"),
+        "blk6_conv0": effs("blk3_conv0_in") / effs("blk6_cat"),
         "blk7_conv0": s["blk2_conv0_in"] / s["blk7_cat"],
         "blk8_conv0": s["blk1_conv0_in"] / s["blk8_cat"],
     }
@@ -210,19 +258,37 @@ def quantize_unet_psrp(layers, taps, init_features: int = 32,
         w = layers[name]["w"].copy()
         if name in skip_scale:
             w[:, :, cins[0]:, :] *= skip_scale[name]
-        w_q, s_w = _quant_w(w)
+        w_q, s_w = _quant_w(
+            w, 7 if (w4 and name in INT4_PSRP_STAGES) else 127
+        )
         q[name]["w_q"], q[name]["s_w"] = w_q, s_w
         mats, _ = pack_psrp_weights(w_q, by, nph, cins=cins)
         q[name]["w_psrp"] = tuple(mats)
     for name in ("blk5_conv0", "blk6_conv0"):
-        # skip_scale stays valid under deep_int4: both its keys are
-        # INT4_KEYS, so the 127/7 rescale cancels in the ratio.
         w = layers[name]["w"].copy()
         half = w.shape[2] // 2
         w[:, :, half:, :] *= skip_scale[name]
         w_q, s_w = _quant_w(w, wlim)
         q[name]["w_q"], q[name]["s_w"] = w_q, s_w
         q[name]["w_packed"] = pack_weights(w_q, 1)
+
+    if a4:
+        # Consumer-side zero-point corrections: the forward adds
+        # 7 * scale_vec * wsum4 to the bias of every conv consuming a
+        # zp7-stored input (uniform across pixels — kernels pad borders
+        # with the stored true-zero). Sums taken over the FINAL
+        # (fold-scaled) quantized weights, zp7 input channels only.
+        for name in DEEP_STAGES:
+            wq = q[name]["w_q"]
+            if name in ("blk5_conv0", "blk6_conv0"):
+                wq = wq[:, :, wq.shape[2] // 2 :, :]  # zp7 skip half only
+            q[name]["wsum4"] = wq.sum((0, 1, 2)).astype(np.float32)
+        for name in INT4_PSRP_STAGES:
+            q[name]["wsum4"] = (
+                q[name]["w_q"].sum((0, 1, 2)).astype(np.float32)
+            )
+        for name in ("ct0", "ct1"):  # per-(dy, dx) single-tap sums
+            q[name]["wsum4"] = q[name]["w_q"].sum(2).astype(np.float32)
 
     stem_mats, _ = pack_stem_psrp_weights(
         q["blk0_conv0"]["w_q"], STEM_BY, NPH_STEM
@@ -272,14 +338,21 @@ def unet_psrp_forward(qparams, x, num_classes: int, tg=None):
     s = qparams["_act_scales"]
     # key PRESENCE, not value: under jit the qparams leaves are tracers, so
     # the flag must be part of the pytree STRUCTURE (quantize_unet_psrp only
-    # adds the key when deep_int4=True).
-    deep_i4 = "_deep_int4" in qparams
+    # adds the keys in the 4-bit modes). deep_i4 drives the [-7,7]
+    # activation bookkeeping; dot4 additionally runs the int4 MXU dots.
+    deep_i4 = "_deep_int4" in qparams or "_deep_a4" in qparams
+    dot4 = "_deep_int4" in qparams
 
     def sdeep(key):
-        """Effective activation scale: INT4_KEYS tensors hold [-7, 7]."""
-        if deep_i4 and key in INT4_KEYS:
-            return s[key] * np.float32(INT4_RATIO)
+        """Effective STORED activation scale under the 4-bit modes."""
+        if deep_i4 and key in ZP7_KEYS:
+            return s[key] * np.float32(ZP7_RATIO)
+        if deep_i4 and key in SYM7_KEYS:
+            return s[key] * np.float32(SYM7_RATIO)
         return s[key]
+
+    def zp_in(key):
+        return deep_i4 and key in ZP7_KEYS
     N, H, W, _ = x.shape
     f = int(qparams["blk0_conv0"]["w_q"].shape[-1])
     stage_table, by_stem_out = _psrp_config(f)
@@ -291,14 +364,47 @@ def unet_psrp_forward(qparams, x, num_classes: int, tg=None):
 
     def pconv(inputs, name, in_key, out_key, pool=False):
         by, nph, cins = stage_table[name]
-        scale, bias = eff(name, in_key, out_key)
+        lw = qparams[name]
+        # pool=True stages feed BOTH a skip (unpooled, kept 8-bit at the
+        # base scale) and a downstream consumer (pooled). Under w4a4 the
+        # pooled tensor alone is requantized to [-7, 7] inside the pool
+        # epilogue (pool_rescale) — a split scale, so skips lose nothing.
+        s_out = s[out_key] if pool else sdeep(out_key)
+        scale = sdeep(in_key) * lw["s_w"] / s_out
+        bias = lw["b"] / s_out
+        kw = {}
+        relu = True
+        if deep_i4:
+            if zp_in(in_key):
+                # consumer-side zero-point fold (+7 * sum(w) per channel;
+                # uniform — the kernel pads borders with the stored -7)
+                bias = bias + 7.0 * scale * lw["wsum4"]
+                kw["pad_val"] = -7
+            if dot4 and name in INT4_PSRP_STAGES:
+                kw["dot_int4"] = True
+            if out_key in INT4_KEYS:
+                if pool:
+                    # split scale: the POOLED tensor alone requantizes to
+                    # zp7 levels in the fused epilogue; the unpooled skip
+                    # keeps the full-int8 base scale
+                    kw["pool_rescale"] = float(1.0 / ZP7_RATIO)
+                    kw["pool_shift"] = -7.0
+                    kw["pool_clip"] = 7.0
+                else:
+                    # producer-side zp: -7 folds into the bias; relu is
+                    # subsumed by the symmetric clip's lower bound
+                    bias = bias - 7.0
+                    relu = False
+                    kw["out_clip"] = 7.0
         return conv3x3_psrp(
-            tuple(inputs), qparams[name]["w_psrp"], scale, bias,
+            tuple(inputs), lw["w_psrp"], scale, bias,
             by=by, nph=nph, cins=cins, tg=tgs[name], pool=pool,
-            interpret=interp,
+            relu=relu, interpret=interp, **kw,
         )
 
-    if _os.environ.get("OCTSEG_PSRP_STEM_FUSE"):
+    if _os.environ.get("OCTSEG_PSRP_STEM_FUSE") and not deep_i4:
+        # (w4a4 note: the fused stem's pooled output has no split-scale
+        # epilogue, so deep_int4 always takes the two-kernel stem path.)
         # fused stem + blk0_conv1 + pool: the full-res stem tensor never
         # round-trips HBM (bit-identical to the two-kernel path). OPT-IN:
         # on-chip A/B (512^2 b128) measured it 24 ms/batch SLOWER than the
@@ -337,13 +443,9 @@ def unet_psrp_forward(qparams, x, num_classes: int, tg=None):
         hq = hp.reshape(N, G, W2, hp.shape[-1])
     else:
         hq = unpack_psrp(hp, by_deep, 1)
-    if deep_i4:
-        # Deep-entry 8->4 requant (one fused elementwise pass over the
-        # 16x-downsampled tensor, ~0.3 ms/batch): blk1_conv1 keeps emitting
-        # full int8 so the enc1 skip feeding blk7 stays 8-bit.
-        hq = jnp.clip(
-            jnp.round(hq.astype(jnp.float32) * (1.0 / INT4_RATIO)), -7, 7
-        ).astype(jnp.int8)
+    # (w4a4: hq already arrives in [-7, 7] — blk1_conv1's pool epilogue
+    # applies the 8->4 split-scale rescale in-register, so the enc1 skip
+    # stays 8-bit and no extra requant pass runs.)
 
     # --- deep region: by=1 kernels with folded cat; reshape-lowered pools.
     # Pool lowerings A/B'd on-chip (perf/poolbench.py): XLA reshape-max 1.7
@@ -358,19 +460,33 @@ def unet_psrp_forward(qparams, x, num_classes: int, tg=None):
         layer = qparams[name]
         if not isinstance(inputs, (tuple, list)):
             inputs = (inputs,)
-        clip = 7.0 if (deep_i4 and out_key in INT4_KEYS) else 127.0
+        scale = sdeep(in_key) * layer["s_w"] / sdeep(out_key)
+        bias = layer["b"] / sdeep(out_key)
+        relu, clip, pad_vals = True, 127.0, None
+        if deep_i4:
+            # every deep input is 4-bit: singles zp7, cat stages
+            # (sym7 up-half, zp7 skip-half); wsum4 covers the zp7
+            # channels only (quantize_unet_psrp)
+            bias = bias + 7.0 * scale * layer["wsum4"]
+            pad_vals = (0, -7) if len(inputs) > 1 else (-7,)
+            if out_key in ZP7_KEYS:
+                bias, relu, clip = bias - 7.0, False, 7.0
+            # interpret path: the same Pallas kernel (interpret mode) —
+            # _qconv cannot express the zp border padding
+            return conv3x3_int8(
+                tuple(inputs), layer["w_packed"], scale, bias, by=1,
+                relu=relu, out_int8=True, th=_pick_th(inputs[0].shape[1]),
+                dot_int4=dot4, out_clip=clip, pad_vals=pad_vals,
+                interpret=interp,
+            )
         if not interp:
-            scale = sdeep(in_key) * layer["s_w"] / sdeep(out_key)
-            bias = layer["b"] / sdeep(out_key)
             return conv3x3_int8(
                 tuple(inputs), layer["w_packed"], scale, bias, by=1,
                 relu=True, out_int8=True, th=_pick_th(inputs[0].shape[1]),
-                dot_int4=deep_i4, out_clip=clip,
             )
         cat = (jnp.concatenate(inputs, axis=-1) if len(inputs) > 1
                else inputs[0])
-        return _qconv(cat, sdeep(in_key), layer, sdeep(out_key),
-                      clip_out=clip)
+        return _qconv(cat, sdeep(in_key), layer, sdeep(out_key))
 
     deep_enc = []
     for i in (2, 3):
@@ -386,10 +502,18 @@ def unet_psrp_forward(qparams, x, num_classes: int, tg=None):
     for ct, blk in ((0, 5), (1, 6)):
         cat_s = sdeep(f"blk{blk}_cat")
         lw = qparams[f"ct{ct}"]
+        scale_v = hs * lw["s_w"] / cat_s
+        bias_v = lw["b"] / cat_s
+        kw = {}
+        if deep_i4:
+            # per-(dy, dx) zero-point fold: each ct output pixel is
+            # exactly one tap of one zp7-stored input pixel
+            bmat = bias_v + 7.0 * scale_v * lw["wsum4"]  # (2, 2, cout)
+            bias_v = jnp.concatenate([bmat[:, 0], bmat[:, 1]], axis=-1)
+            kw = dict(dot_int4=dot4, out_clip=7.0)
         up = ct2x2_int8(
-            hq, lw["w_ct"], hs * lw["s_w"] / cat_s, lw["b"] / cat_s,
-            tr=tgs["ct01"], interpret=interp, dot_int4=deep_i4,
-            out_clip=7.0 if deep_i4 else 127.0,
+            hq, lw["w_ct"], scale_v, bias_v,
+            tr=tgs["ct01"], interpret=interp, **kw,
         )
         # skip feeds RAW — its requant is folded into the conv's weights
         hq = dconv((up, deep_enc[1 - ct]), f"blk{blk}_conv0",

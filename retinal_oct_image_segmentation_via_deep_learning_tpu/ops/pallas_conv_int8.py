@@ -79,11 +79,19 @@ def pack_weights(w, by: int = 1):
 
 
 def _make_kernel(th, by, W, cins, cout, relu, out_int8, force_per_tap=False,
-                 dot_int4=False, out_clip=127.0):
+                 dot_int4=False, out_clip=127.0, pad_vals=None):
     nb = th // by
     cin = sum(cins)
     n_in = len(cins)
     dot_t = jnp.int4 if dot_int4 else jnp.int8
+    # Zero-point inputs (w4a4 zp7 mode): a stored value v represents the
+    # true quantized level v + 7, so 'same' zero padding must insert the
+    # STORED encoding of true-zero — pad_vals[k] = -7 for zp7 inputs.
+    # The +7*sum(w) constant this induces at interior pixels is folded
+    # into the conv bias by the quantizer (uniform because the border is
+    # padded with the same encoding).
+    pad_vals = pad_vals or (0,) * n_in
+    uniform_pv = len(set(pad_vals)) == 1 and pad_vals[0] == 0
 
     def kernel(*refs):
         w_ref, scale_ref, bias_ref = refs[3 * n_in : 3 * n_in + 3]
@@ -107,15 +115,23 @@ def _make_kernel(th, by, W, cins, cout, relu, out_int8, force_per_tap=False,
         tiles = []
         for k in range(n_in):
             top_ref, body_ref, bot_ref = refs[3 * k : 3 * k + 3]
-            top = jnp.where(s == 0, jnp.int8(0), top_ref[0, 0])
-            bot = jnp.where(s == ns - 1, jnp.int8(0), bot_ref[0, 0])
-            tiles.append(jnp.concatenate(
+            pv = jnp.int8(pad_vals[k])
+            top = jnp.where(s == 0, pv, top_ref[0, 0])
+            bot = jnp.where(s == ns - 1, pv, bot_ref[0, 0])
+            t = jnp.concatenate(
                 [top[None], body_ref[0], bot[None]], axis=0
-            ))  # (th+2, W, C_k)
+            )  # (th+2, W, C_k)
+            if not uniform_pv:
+                # per-input W-border pad (each input's own stored
+                # true-zero encoding) BEFORE the channel concat
+                side = jnp.full((t.shape[0], 1, t.shape[2]), pv, jnp.int8)
+                t = jnp.concatenate([side, t, side], axis=1)
+            tiles.append(t)
         tile = (jnp.concatenate(tiles, axis=-1) if n_in > 1 else tiles[0])
         # (by-1) trailing dummy rows let every tap slice th rows for the
         # strided reshape below; the [:, 0] stride never selects them.
-        padded = jnp.pad(tile, ((0, by - 1), (1, 1), (0, 0)))  # (th+1+by,W+2,C)
+        wpad = (0, 0) if not uniform_pv else (1, 1)
+        padded = jnp.pad(tile, ((0, by - 1), wpad, (0, 0)))  # (th+1+by,W+2,C)
 
         def tap(dyp, dx):
             rows = padded[dyp : dyp + th]
@@ -184,10 +200,10 @@ def _make_kernel(th, by, W, cins, cout, relu, out_int8, force_per_tap=False,
 
 @partial(jax.jit, static_argnames=("by", "relu", "out_int8", "th",
                                    "interpret", "force_per_tap", "dot_int4",
-                                   "out_clip"))
+                                   "out_clip", "pad_vals"))
 def conv3x3_int8(x, w_packed, scale, bias, *, by=1, relu=True, out_int8=True,
                  th=16, interpret=False, force_per_tap=False, dot_int4=False,
-                 out_clip=127.0):
+                 out_clip=127.0, pad_vals=None):
     """x: (N, H, W, Cin) int8 — or a tuple of such tensors, whose channel
     concat is folded into the GEMM (weights packed for the cat channels);
     w_packed: pack_weights(w, by) int8; scale: (Cout,) fp32
@@ -217,7 +233,7 @@ def conv3x3_int8(x, w_packed, scale, bias, *, by=1, relu=True, out_int8=True,
     out_dtype = jnp.int8 if out_int8 else jnp.float32
     kern = _make_kernel(th, by, W, cins, cout, relu, out_int8, force_per_tap,
                         dot_int4=dot_int4 and not interpret,
-                        out_clip=out_clip)
+                        out_clip=out_clip, pad_vals=pad_vals)
     # Single-row halo blocks read straight out of x: block size 1 on the row
     # dim makes the block index a row index, so the index map can address the
     # neighbouring strip's edge row (clamped at borders; kernel zero-masks).
@@ -295,7 +311,7 @@ def _ct2x2_kernel(tr, W, cout, dot_int4=False, out_clip=127.0):
                 X, wm, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.int32,
             )
-            y = acc.astype(jnp.float32) * scale_ref[0] + bias_ref[0]
+            y = acc.astype(jnp.float32) * scale_ref[0] + bias_ref[dy]
             y8 = jnp.clip(jnp.round(y), -out_clip, out_clip).astype(jnp.int8)
             o_ref[0, :, dy] = y8.reshape(tr, W, 2 * cout)
 
@@ -321,7 +337,13 @@ def ct2x2_int8(xq, w_mats, scale, bias, *, tr=16, interpret=False,
     cout = w_mats[0].shape[1] // 2
     tr = _snap_tile(H, tr)
     scale_p = jnp.tile(scale, 2)[None]
-    bias_p = jnp.tile(bias, 2)[None]
+    # bias: (cout,) shared, or (2, 2*cout) per-(dy, dx) — the zp7 input
+    # mode needs per-tap bias corrections (each output pixel is exactly
+    # one (dy, dx) tap of its single source pixel).
+    bias = jnp.asarray(bias)
+    bias_p = (jnp.tile(bias, 2)[None].repeat(2, 0) if bias.ndim == 1
+              else bias)
+    assert bias_p.shape == (2, 2 * cout), bias_p.shape
     y = pl.pallas_call(
         _ct2x2_kernel(tr, W, cout, dot_int4=dot_int4 and not interpret,
                       out_clip=out_clip),
@@ -377,9 +399,24 @@ def pool2x2_int8(xq, *, th=8, interpret=False):
 
 
 def conv3x3_int8_reference(x, w_packed, scale, bias, by=1, relu=True,
-                           out_int8=True, out_clip=127.0):
+                           out_int8=True, out_clip=127.0, pad_vals=None):
     """lax.conv equivalent for correctness checks. int8 dots: exact for the
-    w4a4 mode too, whose +-7-valued operands never overflow int8 math."""
+    w4a4 mode too, whose +-7-valued operands never overflow int8 math.
+    ``pad_vals``: per-input-tuple border value (zp7 stored true-zero)."""
+    if isinstance(x, (tuple, list)):
+        if pad_vals is None:
+            pad_vals = (0,) * len(x)
+        x = jnp.concatenate(
+            [jnp.pad(t, ((0, 0), (1, 1), (1, 1), (0, 0)),
+                     constant_values=np.int8(pv))
+             for t, pv in zip(x, pad_vals)], axis=-1)
+        pad = [(0, 0), (0, 0)]
+    elif pad_vals is not None and any(pad_vals):
+        x = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)),
+                    constant_values=np.int8(pad_vals[0]))
+        pad = [(0, 0), (0, 0)]
+    else:
+        pad = [(1, 1), (1, 1)]
     cin = x.shape[-1]
     cout = w_packed.shape[-1] // by
     # Recover the dense (3,3,cin,cout) kernel from the banded pack: output
@@ -387,7 +424,7 @@ def conv3x3_int8_reference(x, w_packed, scale, bias, by=1, relu=True,
     wp = jnp.asarray(w_packed).reshape(3, by + 2, cin, by, cout)
     w = wp[:, :3, :, 0, :].transpose(1, 0, 2, 3)
     acc = jax.lax.conv_general_dilated(
-        x, w, (1, 1), [(1, 1), (1, 1)],
+        x, w, (1, 1), pad,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         preferred_element_type=jnp.int32,
     )

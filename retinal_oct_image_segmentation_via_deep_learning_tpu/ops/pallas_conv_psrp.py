@@ -203,9 +203,18 @@ def pack_psrp_weights_v2(w, by: int, nph: int, cins=None):
 
 
 def _psrp_kernel(tg, by, nph, W2, cins, cout, relu, pool, meta, head, ncp,
-                 variant="v1"):
+                 variant="v1", dot_int4=False, out_clip=127.0,
+                 pool_rescale=None, pool_clip=127.0, pad_val=0,
+                 pool_shift=0.0):
     taps_by_phase = _phase_taps(nph)
     n_in = len(cins)
+    dot_t = jnp.int4 if dot_int4 else jnp.int8
+    # zp7 inputs: stored v encodes true level v + 7, so 'same' padding must
+    # insert the stored true-zero (-7); the quantizer folds the resulting
+    # uniform +7*sum(w) into the bias. Single-input stages only (the w4a4
+    # mid-res stages are all n_in == 1; cat stages keep 8-bit inputs).
+    assert pad_val == 0 or (n_in == 1 and variant == "v1"), \
+        (pad_val, n_in, variant)
 
     def kernel(*refs):
         if variant == "v2":
@@ -243,11 +252,12 @@ def _psrp_kernel(tg, by, nph, W2, cins, cout, relu, pool, meta, head, ncp,
             for phi in range(nph):
                 body = body_ref[0, :, phi]  # (tg, W2, by*cin)
                 top_last = jnp.where(
-                    s == 0, jnp.int8(0),
+                    s == 0, jnp.int8(pad_val),
                     top_ref[0, 0, phi, :, (by - 1) * cin :],
                 )
                 bot_first = jnp.where(
-                    s == ns - 1, jnp.int8(0), bot_ref[0, 0, phi, :, :cin]
+                    s == ns - 1, jnp.int8(pad_val),
+                    bot_ref[0, 0, phi, :, :cin],
                 )
                 prev_rows = jnp.concatenate(
                     [top_last[None], body[:-1, :, (by - 1) * cin :]], axis=0
@@ -302,8 +312,13 @@ def _psrp_kernel(tg, by, nph, W2, cins, cout, relu, pool, meta, head, ncp,
                             X = (halos[k][phi_in] if not ws
                                  else shifted[(k, phi_in, ws)])
                             part = jax.lax.dot_general(
-                                X.reshape(tg * W2, X.shape[-1]),
-                                w_refs[wi][...],
+                                X.reshape(tg * W2, X.shape[-1]).astype(
+                                    dot_t
+                                ) if dot_int4 else X.reshape(
+                                    tg * W2, X.shape[-1]
+                                ),
+                                w_refs[wi][...].astype(dot_t)
+                                if dot_int4 else w_refs[wi][...],
                                 (((1,), (0,)), ((), ())),
                                 preferred_element_type=jnp.int32,
                             )
@@ -326,12 +341,25 @@ def _psrp_kernel(tg, by, nph, W2, cins, cout, relu, pool, meta, head, ncp,
                     else pieces[0]
                 K = X.shape[-1]
                 if ws:
-                    X = jnp.pad(X, ((0, 0), (1, 1), (0, 0)))[
-                        :, ws + 1 : ws + 1 + W2
-                    ]
+                    if pad_val:
+                        side = jnp.full((X.shape[0], 1, K),
+                                        jnp.int8(pad_val), jnp.int8)
+                        X = jnp.concatenate([side, X, side], axis=1)[
+                            :, ws + 1 : ws + 1 + W2
+                        ]
+                    else:
+                        X = jnp.pad(X, ((0, 0), (1, 1), (0, 0)))[
+                            :, ws + 1 : ws + 1 + W2
+                        ]
+                Xm = X.reshape(tg * W2, K)
+                wm = w_refs[wi][...]
+                if dot_int4:
+                    # w4a4: +-7-valued int8 storage cast to int4 here; the
+                    # MXU dot then runs at the 2x int4 rate (647 vs 367
+                    # TOPs at K=512, perf/int4probe.py).
+                    Xm, wm = Xm.astype(dot_t), wm.astype(dot_t)
                 part = jax.lax.dot_general(
-                    X.reshape(tg * W2, K), w_refs[wi][...],
-                    (((1,), (0,)), ((), ())),
+                    Xm, wm, (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.int32,
                 )
                 wi += 1
@@ -345,13 +373,16 @@ def _psrp_kernel(tg, by, nph, W2, cins, cout, relu, pool, meta, head, ncp,
                 yf = acc.astype(jnp.float32) * scale_ref[0] + bias_ref[0]
                 if relu:
                     yf = jnp.maximum(yf, 0.0)
-                # NOTE: keep the clip bounds EXACTLY (-127, 127): folding
-                # relu into the lower bound (clip 0..127) measured a ~50%
-                # whole-kernel regression on-chip (e1b 4.14 -> 6.4 ms) —
-                # Mosaic pattern-matches the symmetric clip+cast into a
-                # fused saturating f32->s8 convert and the asymmetric
-                # bound breaks it.
-                y8 = jnp.clip(jnp.round(yf), -127.0, 127.0).astype(jnp.int8)
+                # NOTE: keep the clip bounds SYMMETRIC: folding relu into
+                # the lower bound (clip 0..127) measured a ~50% whole-kernel
+                # regression on-chip (e1b 4.14 -> 6.4 ms) — Mosaic
+                # pattern-matches the symmetric clip+cast into a fused
+                # saturating f32->s8 convert and the asymmetric bound
+                # breaks it. (+-7 for w4a4 consumers is symmetric and
+                # measured free, perf/int4probe.py.)
+                y8 = jnp.clip(jnp.round(yf), -out_clip, out_clip).astype(
+                    jnp.int8
+                )
             if head:
                 # Fused 1x1-head + argmax epilogue (blk8_conv1 + head in one
                 # pass): the full-res int8 tensor never round-trips HBM
@@ -376,7 +407,12 @@ def _psrp_kernel(tg, by, nph, W2, cins, cout, relu, pool, meta, head, ncp,
         if pool:
             # fused 2x2/2 max pool: plane-pair max (W half) + row-pair
             # lane-group max (H half) in fp32 (exact: round/clip monotone).
-            plo = -127.0  # symmetric: see the fused-convert note above
+            # ``pool_rescale`` splits the pooled tensor's scale from the
+            # unpooled epilogue's (w4a4 mode: the skip stays 8-bit while
+            # the pooled path is requantized to [-7, 7] for the int4
+            # consumer — applied on the PRE-round fp32 values, i.e. a
+            # direct 4-bit quantization, not a double rounding).
+            plo = -pool_clip  # symmetric: see the fused-convert note above
             p_ref = refs[3 * n_in + nw + 3]
             for u in range(nph // 2):
                 m = jnp.maximum(outs[2 * u], outs[2 * u + 1])
@@ -391,18 +427,31 @@ def _psrp_kernel(tg, by, nph, W2, cins, cout, relu, pool, meta, head, ncp,
                     ],
                     axis=-1,
                 )
-                rp = jnp.clip(jnp.round(rp), plo, 127.0).astype(jnp.int8)
+                if pool_rescale is not None:
+                    rp = rp * pool_rescale + pool_shift
+                rp = jnp.clip(jnp.round(rp), plo, pool_clip).astype(jnp.int8)
                 p_ref[0, :, u] = rp
 
     return kernel
 
 
 @partial(jax.jit, static_argnames=("by", "nph", "cins", "relu", "tg",
-                                   "pool", "interpret", "variant"))
+                                   "pool", "interpret", "variant",
+                                   "dot_int4", "out_clip", "pool_rescale",
+                                   "pool_clip", "pad_val", "pool_shift"))
 def conv3x3_psrp(inputs, w_mats, scale, bias, *, by, nph, cins,
                  relu=True, tg=8, pool=False, head=None, interpret=False,
-                 variant="v1"):
+                 variant="v1", dot_int4=False, out_clip=127.0,
+                 pool_rescale=None, pool_clip=127.0, pad_val=0,
+                 pool_shift=0.0):
     """PSRP int8 3x3 conv (+ optional folded skip concat + fused pool).
+
+    w4a4 extras (serving the mid-res stages at the 2x int4 MXU rate):
+    ``dot_int4`` casts the +-7-valued int8 operands to int4 in-kernel;
+    ``out_clip=7`` clamps the requant for int4 consumers; ``pool_rescale``
+    multiplies the POOLED output's pre-round fp32 values (with
+    ``pool_clip`` bounds), splitting the pooled scale from the unpooled
+    skip's so the skip keeps 8-bit precision.
 
     inputs: tuple of PSRP tensors (N, G, nph, W2, by*cin_k). w_mats: tuple
     from ``pack_psrp_weights`` (variant="v1", fused ws-group dots) or
@@ -501,7 +550,11 @@ def conv3x3_psrp(inputs, w_mats, scale, bias, *, by, nph, cins,
 
     out = pl.pallas_call(
         _psrp_kernel(tg, by, nph, W2, tuple(cins), cout, relu, pool, meta,
-                     head is not None, ncp, variant),
+                     head is not None, ncp, variant,
+                     dot_int4=dot_int4 and not interpret,
+                     out_clip=out_clip, pool_rescale=pool_rescale,
+                     pool_clip=pool_clip, pad_val=pad_val,
+                     pool_shift=pool_shift),
         grid=(N, S),
         in_specs=in_specs,
         out_specs=out_specs if pool else out_specs[0],

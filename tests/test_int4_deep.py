@@ -58,6 +58,44 @@ def test_conv3x3_cat_int4_matches_reference():
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
 
 
+def test_conv3x3_zp_pad_matches_reference():
+    """zp7 storage: borders padded with the stored true-zero (-7)."""
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.integers(-7, 8, (2, 16, 32, 128)), jnp.int8)
+    w = rng.integers(-7, 8, (3, 3, 128, 128)).astype(np.int8)
+    scale = jnp.asarray(rng.uniform(0.001, 0.01, 128), jnp.float32)
+    bias = jnp.asarray(rng.uniform(-0.5, 0.5, 128), jnp.float32)
+    wp = jnp.asarray(pack_weights(w, 1))
+    got = conv3x3_int8(x, wp, scale, bias, by=1, th=8, interpret=True,
+                       dot_int4=True, out_clip=7.0, pad_vals=(-7,),
+                       relu=False)
+    want = conv3x3_int8_reference(x, wp, scale, bias, by=1, out_clip=7.0,
+                                  pad_vals=(-7,), relu=False)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+    # border must differ from zero-padding (the -7 pad is load-bearing)
+    zp0 = conv3x3_int8_reference(x, wp, scale, bias, by=1, out_clip=7.0,
+                                 relu=False)
+    assert not np.array_equal(np.asarray(want), np.asarray(zp0))
+
+
+def test_conv3x3_cat_mixed_pad_matches_reference():
+    """cat conv with (sym7 up, zp7 skip) halves: per-input border values."""
+    rng = np.random.default_rng(4)
+    a = jnp.asarray(rng.integers(-7, 8, (1, 8, 16, 64)), jnp.int8)
+    b = jnp.asarray(rng.integers(-7, 8, (1, 8, 16, 64)), jnp.int8)
+    w = rng.integers(-7, 8, (3, 3, 128, 64)).astype(np.int8)
+    scale = jnp.asarray(rng.uniform(0.001, 0.01, 64), jnp.float32)
+    bias = jnp.zeros((64,), jnp.float32)
+    wp = jnp.asarray(pack_weights(w, 1))
+    got = conv3x3_int8((a, b), wp, scale, bias, by=1, th=4, interpret=True,
+                       dot_int4=True, out_clip=7.0, pad_vals=(0, -7),
+                       relu=False)
+    want = conv3x3_int8_reference((a, b), wp, scale, bias, by=1,
+                                  out_clip=7.0, pad_vals=(0, -7),
+                                  relu=False)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
 def test_ct2x2_int4_matches_dense():
     rng = np.random.default_rng(2)
     x = jnp.asarray(rng.integers(-7, 8, (2, 8, 8, 128)), jnp.int8)
