@@ -37,6 +37,9 @@ BASELINE_SCANS_PER_SEC = 5000.0
 # A/B'd in perf/abench.py (early XLA graph): 32->417, 64->686, 128->1143,
 # 256->1161; re-swept on the PSRP graph late round 3 (OCTSEG_BENCH_BATCH).
 BATCH = int(os.environ.get("OCTSEG_BENCH_BATCH", "128"))
+# secondary compressed config (f=16): 3378 scans/s int8 (round 3); the
+# headline stays f=32 = the reference U-Net default (YNet_2022.py:511)
+FEATURES = int(os.environ.get("OCTSEG_BENCH_F", "32"))
 SIZE = 512
 NUM_CLASSES = 10
 
@@ -52,7 +55,8 @@ def _build():
     )
     from retinal_oct_image_segmentation_via_deep_learning_tpu.models.unet import UNet
 
-    model = UNet(out_channels=NUM_CLASSES, init_features=32, dtype=jnp.bfloat16)
+    model = UNet(out_channels=NUM_CLASSES, init_features=FEATURES,
+                 dtype=jnp.bfloat16)
     key = jax.random.PRNGKey(0)
     variables = model.init(key, jnp.zeros((1, SIZE, SIZE, 1), jnp.bfloat16))
     layers = fold_unet_bn(variables)
@@ -63,6 +67,7 @@ def _build():
         jnp.asarray,
         quantize_unet_psrp(
             layers, calibrate_unet(layers, [calib]),
+            init_features=FEATURES,
             deep_int4=bool(os.environ.get("OCTSEG_PSRP_INT4")),
         ),
     )
@@ -150,7 +155,8 @@ def _build_int8_fallback():
     )
     from retinal_oct_image_segmentation_via_deep_learning_tpu.models.unet import UNet
 
-    model = UNet(out_channels=NUM_CLASSES, init_features=32, dtype=jnp.bfloat16)
+    model = UNet(out_channels=NUM_CLASSES, init_features=FEATURES,
+                 dtype=jnp.bfloat16)
     variables = model.init(
         jax.random.PRNGKey(0), jnp.zeros((1, SIZE, SIZE, 1), jnp.bfloat16)
     )
@@ -187,6 +193,8 @@ def main():
     metric = "unet_512x512_infer_int8_psrp"
     if os.environ.get("OCTSEG_PSRP_INT4"):
         metric = "unet_512x512_infer_int4deep_psrp"
+    if FEATURES != 32:
+        metric += f"_f{FEATURES}"
     if os.environ.get("OCTSEG_BENCH_PREPROC"):
         metric += "_pipeline"
     try:
