@@ -198,7 +198,7 @@ INT4_PSRP_STAGES = ("blk1_conv0", "blk1_conv1", "blk7_conv1")
 
 
 def quantize_unet_psrp(layers, taps, init_features: int = 32,
-                       deep_int4=False):
+                       deep_int4=False, int4_w8_stages=()):
     """qparams for ``unet_psrp_forward`` (f=init_features U-Net).
 
     ``deep_int4=True``: serve the deep region (blk2..blk6 + ct0/ct1, plus
@@ -211,10 +211,17 @@ def quantize_unet_psrp(layers, taps, init_features: int = 32,
     ``deep_int4="w4"``: 4-bit WEIGHTS only (activations full int8, int8
     dots — an accuracy-attribution mode, no speedup).
     ``deep_int4="a4"``: 4-bit ACTIVATIONS only (weights int8, int8 dots —
-    accuracy attribution)."""
+    accuracy attribution).
+
+    ``int4_w8_stages``: stage names (conv stages or "ct0"/"ct1") whose
+    WEIGHTS stay full int8 under deep_int4 (their dots then run int8 on the
+    4-bit activations) — per-stage mixed precision for accuracy recovery.
+    Recorded as pytree-structure keys so the forward picks it up under jit.
+    """
     w4 = deep_int4 in (True, "w4")
     a4 = deep_int4 in (True, "a4")
     assert deep_int4 in (False, True, "w4", "a4"), deep_int4
+    w8set = frozenset(int4_w8_stages) if deep_int4 else frozenset()
     stage_table, _ = _psrp_config(init_features)
     q = quantize_unet(layers, taps, pallas=False)
     s = {k: np.float32(v) for k, v in q["_act_scales"].items()}
@@ -225,8 +232,12 @@ def quantize_unet_psrp(layers, taps, init_features: int = 32,
         # tracers under jit): _deep_int4 => w4a4 (int4 dots),
         # _deep_a4 => activation-only 4-bit (int8 dots).
         q["_deep_int4" if deep_int4 is True else f"_deep_{deep_int4}"] = True
+        for name in w8set:
+            q[f"_w8_{name}"] = True
     if w4:
         for name in DEEP_STAGES + ("ct0", "ct1"):
+            if name in w8set:
+                continue
             q[name]["w_q"], q[name]["s_w"] = _quant_w(
                 layers[name]["w"], wlim
             )
@@ -259,7 +270,8 @@ def quantize_unet_psrp(layers, taps, init_features: int = 32,
         if name in skip_scale:
             w[:, :, cins[0]:, :] *= skip_scale[name]
         w_q, s_w = _quant_w(
-            w, 7 if (w4 and name in INT4_PSRP_STAGES) else 127
+            w, 7 if (w4 and name in INT4_PSRP_STAGES
+                     and name not in w8set) else 127
         )
         q[name]["w_q"], q[name]["s_w"] = w_q, s_w
         mats, _ = pack_psrp_weights(w_q, by, nph, cins=cins)
@@ -268,7 +280,7 @@ def quantize_unet_psrp(layers, taps, init_features: int = 32,
         w = layers[name]["w"].copy()
         half = w.shape[2] // 2
         w[:, :, half:, :] *= skip_scale[name]
-        w_q, s_w = _quant_w(w, wlim)
+        w_q, s_w = _quant_w(w, 7 if (w4 and name not in w8set) else 127)
         q[name]["w_q"], q[name]["s_w"] = w_q, s_w
         q[name]["w_packed"] = pack_weights(w_q, 1)
 
@@ -380,7 +392,8 @@ def unet_psrp_forward(qparams, x, num_classes: int, tg=None):
                 # uniform — the kernel pads borders with the stored -7)
                 bias = bias + 7.0 * scale * lw["wsum4"]
                 kw["pad_val"] = -7
-            if dot4 and name in INT4_PSRP_STAGES:
+            if (dot4 and name in INT4_PSRP_STAGES
+                    and f"_w8_{name}" not in qparams):
                 kw["dot_int4"] = True
             if out_key in INT4_KEYS:
                 if pool:
@@ -476,7 +489,8 @@ def unet_psrp_forward(qparams, x, num_classes: int, tg=None):
             return conv3x3_int8(
                 tuple(inputs), layer["w_packed"], scale, bias, by=1,
                 relu=relu, out_int8=True, th=_pick_th(inputs[0].shape[1]),
-                dot_int4=dot4, out_clip=clip, pad_vals=pad_vals,
+                dot_int4=dot4 and f"_w8_{name}" not in qparams,
+                out_clip=clip, pad_vals=pad_vals,
                 interpret=interp,
             )
         if not interp:
@@ -510,7 +524,8 @@ def unet_psrp_forward(qparams, x, num_classes: int, tg=None):
             # exactly one tap of one zp7-stored input pixel
             bmat = bias_v + 7.0 * scale_v * lw["wsum4"]  # (2, 2, cout)
             bias_v = jnp.concatenate([bmat[:, 0], bmat[:, 1]], axis=-1)
-            kw = dict(dot_int4=dot4, out_clip=7.0)
+            kw = dict(dot_int4=dot4 and f"_w8_ct{ct}" not in qparams,
+                      out_clip=7.0)
         up = ct2x2_int8(
             hq, lw["w_ct"], scale_v, bias_v,
             tr=tgs["ct01"], interpret=interp, **kw,
